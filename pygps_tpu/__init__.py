@@ -1,0 +1,30 @@
+"""pygps_tpu — a TPU-native Gaussian-process inference engine.
+
+Covers the full model surface of pyGPs (marionmari/pyGPs) — composable
+mean/covariance/likelihood functors, Exact/Laplace/EP inference, FITC
+sparse GPs, one-vs-rest multiclass, validation and graph-kernel
+extensions — rebuilt from scratch for TPU: jax autodiff replaces hand
+derivatives, Pallas kernels accelerate Gram/Cholesky, inference scales over
+device meshes via shard_map/ICI collectives, and the inference menu extends
+to SVGP, NUTS/HMC and SMC.
+
+Top-level re-exports mirror the reference package root
+(pyGPs/__init__.py:~1-20): models ``GPR, GPC, GPMC, GPR_FITC, GPC_FITC``
+and the modules ``mean, cov, lik, inf, opt``.
+"""
+
+from pygps_tpu.core import kernels as cov
+from pygps_tpu.core import likelihoods as lik
+from pygps_tpu.core import means as mean
+from pygps_tpu.core.posteriors import Posterior, predict_latent
+from pygps_tpu.inference import engines as inf
+from pygps_tpu.models.gp import GP, GPC, GPC_FITC, GPMC, GPR, GPR_FITC
+from pygps_tpu.optimize import optimizers as opt
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "GP", "GPR", "GPC", "GPMC", "GPR_FITC", "GPC_FITC",
+    "mean", "cov", "lik", "inf", "opt",
+    "Posterior", "predict_latent",
+]

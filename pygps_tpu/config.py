@@ -1,0 +1,40 @@
+"""Global numeric configuration for pygps_tpu.
+
+The reference (pyGPs) runs everything in numpy float64 on CPU. On TPU the
+native matmul/Cholesky path is float32 (MXU), so the library is written
+dtype-polymorphic: all public entry points normalise inputs with
+:func:`asarray`, and internal constants inherit the dtype of their operands.
+Parity tests run on CPU with ``jax_enable_x64`` for float64 agreement with
+closed-form references (see tests/conftest.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+#: Diagonal jitter ladder used by ``utils.tools.safe_cholesky`` — mirrors the
+#: escalation strategy of pyGPs ``tools.jitchol`` (×10 per retry, 5 tries)
+#: but runs data-parallel under jit instead of a Python try/except loop.
+JITTER_INIT_SCALE = 1e-10
+JITTER_GROWTH = 10.0
+JITTER_MAX_TRIES = 8
+
+#: Relative jitter added to Kuu in FITC inference (reference: inf.py FITC
+#: engines use snu2 = 1e-6 * sn2).
+FITC_JITTER_REL = 1e-6
+
+
+def default_dtype() -> jnp.dtype:
+    """float64 when x64 is enabled (CPU parity mode), else float32 (TPU)."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def asarray(x) -> jax.Array:
+    """Convert to a jnp array in the default floating dtype."""
+    a = jnp.asarray(x)
+    if not jnp.issubdtype(a.dtype, jnp.floating):
+        a = a.astype(default_dtype())
+    elif a.dtype != default_dtype():
+        a = a.astype(default_dtype())
+    return a

@@ -1,0 +1,661 @@
+"""Covariance functions (kernels) and their composition algebra.
+
+TPU-native counterpart of pyGPs ``pyGPs/Core/cov.py``.  Full catalogue parity
+(reference classes in parentheses): RBF, RBFunit, RBFard, Const, Linear,
+LINard, Matern(d∈{1,3,5,7}), Periodic, RQ, RQard, Poly, PiecePoly, Noise,
+SM (spectral mixture), Pre (precomputed Gram) and composites Sum/Product/
+Scale (SumOfKernel/ProductOfKernel/ScaleOfKernel) plus the FITC wrapper
+(FITCOfKernel).
+
+Design deltas vs the reference (SURVEY.md §7.1):
+
+* Kernels are pure-function pytrees — hyperparameter gradients come from
+  ``jax.grad``; there is no ``getDerMatrix`` hand-derivative surface.  A
+  compat shim ``getDerMatrix`` is provided (computed by autodiff) so the
+  reference's unit-test structure (shape checks per hyp index) carries over.
+* The three evaluation modes of the reference
+  (``getCovMatrix(x, z, mode='train'|'cross'|'self_test')``,
+  cov.py:~60-120) map to :meth:`Kernel.Ktrain`, :meth:`Kernel.K`,
+  :meth:`Kernel.Kdiag`.
+* All distance computations route through a single MXU-friendly
+  ``sq_dist`` (one matmul + broadcast); the Pallas fused Gram kernel in
+  ``ops/gram_pallas.py`` accelerates the train-mode path for large n.
+
+Hyperparameters are stored in log space exactly where the reference stores
+them in log space (lengthscales, signal/noise std-devs, periods, alpha).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import tree_util
+
+from pygps_tpu import config
+from pygps_tpu.core.functor import Functor, register, _p
+from pygps_tpu.utils.tools import sq_dist
+
+
+class HashableArray:
+    """Identity-hashed wrapper so a constant matrix can live in pytree aux
+    data (used by Pre / FITC for non-trainable arrays)."""
+
+    __slots__ = ("value",)
+
+    def __init__(self, value):
+        self.value = jnp.asarray(value)
+
+    def __hash__(self):
+        return id(self.value)
+
+    def __eq__(self, other):
+        return self is other or (
+            isinstance(other, HashableArray) and self.value is other.value
+        )
+
+
+class Kernel(Functor):
+    """Base covariance functor.
+
+    Subclasses implement ``_cross(x, z) -> (n, m)`` and optionally
+    ``_diag(z) -> (m,)`` and ``_train(x) -> (n, n)``.
+    """
+
+    # -- core evaluation ---------------------------------------------------
+    def _cross(self, x, z):
+        raise NotImplementedError
+
+    def _diag(self, z):
+        return jnp.diagonal(self._cross(z, z))
+
+    def _train(self, x):
+        K = self._cross(x, x)
+        return 0.5 * (K + K.T)
+
+    def K(self, x, z):
+        """Cross-covariance K(x, z), shape (n, m). Reference mode='cross'."""
+        return self._cross(x, z)
+
+    def Kdiag(self, z):
+        """diag K(z, z), shape (m,). Reference mode='self_test'."""
+        return self._diag(z)
+
+    def Ktrain(self, x):
+        """Symmetric train Gram K(x, x). Reference mode='train'."""
+        return self._train(x)
+
+    def __call__(self, x, z=None, diag=False):
+        if diag:
+            return self.Kdiag(x if z is None else z)
+        if z is None:
+            return self.Ktrain(x)
+        return self.K(x, z)
+
+    # -- composition algebra (reference cov.py:~30-100) --------------------
+    def __add__(self, other):
+        if isinstance(other, Kernel):
+            return Sum(self, other)
+        return NotImplemented
+
+    def __radd__(self, other):
+        return self.__add__(other)
+
+    def __mul__(self, other):
+        if isinstance(other, Kernel):
+            return Product(self, other)
+        if isinstance(other, (int, float)):
+            return Scale(self, scale=float(other))
+        return NotImplemented
+
+    def __rmul__(self, other):
+        return self.__mul__(other)
+
+    # -- pyGPs compat shims ------------------------------------------------
+    def getCovMatrix(self, x=None, z=None, mode=None):
+        """Reference-compatible mode dispatch (cov.py getCovMatrix)."""
+        if mode == "train":
+            return self.Ktrain(config.asarray(x))
+        if mode == "cross":
+            return self.K(config.asarray(x), config.asarray(z))
+        if mode == "self_test":
+            return self.Kdiag(config.asarray(z))[:, None]
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def getDerMatrix(self, x=None, z=None, mode=None, der=0):
+        """∂K/∂hyp[der] via autodiff (replaces the reference's hand-written
+        derivative matrices, cov.py getDerMatrix)."""
+        from jax.flatten_util import ravel_pytree
+
+        flat, unravel = ravel_pytree(self)
+
+        def f(v):
+            return unravel(v).getCovMatrix(x, z, mode)
+
+        jac = jax.jacfwd(f)(flat)
+        return jac[..., der]
+
+
+# ---------------------------------------------------------------------------
+# Stationary kernels
+# ---------------------------------------------------------------------------
+
+
+@register
+class RBF(Kernel):
+    """Squared-exponential: sf² exp(−r²/(2ℓ²)). Reference cov.RBF
+    (hyp = [log_ell, log_sigma])."""
+
+    _hyp_fields = ("log_ell", "log_sigma")
+
+    def __init__(self, log_ell=0.0, log_sigma=0.0):
+        self.log_ell = _p(log_ell)
+        self.log_sigma = _p(log_sigma)
+
+    def _cross(self, x, z):
+        ell = jnp.exp(self.log_ell)
+        sf2 = jnp.exp(2.0 * self.log_sigma)
+        return sf2 * jnp.exp(-0.5 * sq_dist(x / ell, z / ell))
+
+    def _diag(self, z):
+        sf2 = jnp.exp(2.0 * self.log_sigma)
+        return jnp.full(z.shape[0], sf2, dtype=z.dtype) + 0.0 * sf2
+
+
+@register
+class RBFunit(Kernel):
+    """Unit-variance RBF: exp(−r²/(2ℓ²)). Reference cov.RBFunit
+    (hyp = [log_ell])."""
+
+    _hyp_fields = ("log_ell",)
+
+    def __init__(self, log_ell=0.0):
+        self.log_ell = _p(log_ell)
+
+    def _cross(self, x, z):
+        ell = jnp.exp(self.log_ell)
+        return jnp.exp(-0.5 * sq_dist(x / ell, z / ell))
+
+    def _diag(self, z):
+        return jnp.ones(z.shape[0], dtype=z.dtype)
+
+
+@register
+class RBFard(Kernel):
+    """ARD squared-exponential with per-dimension lengthscales.
+    Reference cov.RBFard (hyp = [log_ell_1..d, log_sigma])."""
+
+    _hyp_fields = ("log_ell", "log_sigma")
+
+    def __init__(self, log_ell=None, log_sigma=0.0, D=None):
+        if log_ell is None:
+            log_ell = jnp.zeros(D if D is not None else 1)
+        self.log_ell = _p(log_ell)
+        self.log_sigma = _p(log_sigma)
+
+    def _cross(self, x, z):
+        ell = jnp.exp(self.log_ell)
+        sf2 = jnp.exp(2.0 * self.log_sigma)
+        return sf2 * jnp.exp(-0.5 * sq_dist(x / ell, z / ell))
+
+    def _diag(self, z):
+        sf2 = jnp.exp(2.0 * self.log_sigma)
+        return jnp.full(z.shape[0], 1.0, dtype=z.dtype) * sf2
+
+
+_MATERN_POLY = {
+    1: lambda t: 1.0 + 0.0 * t,
+    3: lambda t: 1.0 + t,
+    5: lambda t: 1.0 + t + t * t / 3.0,
+    7: lambda t: 1.0 + t + 2.0 * t * t / 5.0 + t * t * t / 15.0,
+}
+
+
+@register
+class Matern(Kernel):
+    """Matern family, half-integer order ν = d/2: sf² f_d(t) exp(−t) with
+    t = √d · r/ℓ. Reference cov.Matern (d ∈ {1,3,5,7};
+    hyp = [log_ell, log_sigma])."""
+
+    _hyp_fields = ("log_ell", "log_sigma")
+    _static_fields = ("d",)
+
+    def __init__(self, log_ell=0.0, log_sigma=0.0, d=3):
+        if d not in (1, 3, 5, 7):
+            raise ValueError("Matern degree d must be in {1,3,5,7}")
+        self.log_ell = _p(log_ell)
+        self.log_sigma = _p(log_sigma)
+        self.d = int(d)
+
+    def _cross(self, x, z):
+        ell = jnp.exp(self.log_ell)
+        sf2 = jnp.exp(2.0 * self.log_sigma)
+        r2 = sq_dist(x / ell, z / ell)
+        t = jnp.sqrt(jnp.asarray(float(self.d), x.dtype) * r2 + 1e-36)
+        return sf2 * _MATERN_POLY[self.d](t) * jnp.exp(-t)
+
+    def _diag(self, z):
+        sf2 = jnp.exp(2.0 * self.log_sigma)
+        return jnp.full(z.shape[0], 1.0, dtype=z.dtype) * sf2
+
+
+@register
+class Periodic(Kernel):
+    """Periodic kernel: sf² exp(−2 sin²(π r / p) / ℓ²).
+    Reference cov.Periodic (hyp = [log_ell, log_p, log_sigma])."""
+
+    _hyp_fields = ("log_ell", "log_p", "log_sigma")
+
+    def __init__(self, log_ell=0.0, log_p=0.0, log_sigma=0.0):
+        self.log_ell = _p(log_ell)
+        self.log_p = _p(log_p)
+        self.log_sigma = _p(log_sigma)
+
+    def _cross(self, x, z):
+        ell2 = jnp.exp(2.0 * self.log_ell)
+        p = jnp.exp(self.log_p)
+        sf2 = jnp.exp(2.0 * self.log_sigma)
+        r = jnp.sqrt(sq_dist(x, z) + 1e-36)
+        s = jnp.sin(jnp.pi * r / p)
+        return sf2 * jnp.exp(-2.0 * s * s / ell2)
+
+    def _diag(self, z):
+        sf2 = jnp.exp(2.0 * self.log_sigma)
+        return jnp.full(z.shape[0], 1.0, dtype=z.dtype) * sf2
+
+
+@register
+class RQ(Kernel):
+    """Rational quadratic: sf² (1 + r²/(2αℓ²))^(−α).
+    Reference cov.RQ (hyp = [log_ell, log_sigma, log_alpha])."""
+
+    _hyp_fields = ("log_ell", "log_sigma", "log_alpha")
+
+    def __init__(self, log_ell=0.0, log_sigma=0.0, log_alpha=0.0):
+        self.log_ell = _p(log_ell)
+        self.log_sigma = _p(log_sigma)
+        self.log_alpha = _p(log_alpha)
+
+    def _cross(self, x, z):
+        ell = jnp.exp(self.log_ell)
+        sf2 = jnp.exp(2.0 * self.log_sigma)
+        alpha = jnp.exp(self.log_alpha)
+        r2 = sq_dist(x / ell, z / ell)
+        return sf2 * jnp.power(1.0 + 0.5 * r2 / alpha, -alpha)
+
+    def _diag(self, z):
+        sf2 = jnp.exp(2.0 * self.log_sigma)
+        return jnp.full(z.shape[0], 1.0, dtype=z.dtype) * sf2
+
+
+@register
+class RQard(Kernel):
+    """ARD rational quadratic. Reference cov.RQard."""
+
+    _hyp_fields = ("log_ell", "log_sigma", "log_alpha")
+
+    def __init__(self, log_ell=None, log_sigma=0.0, log_alpha=0.0, D=None):
+        if log_ell is None:
+            log_ell = jnp.zeros(D if D is not None else 1)
+        self.log_ell = _p(log_ell)
+        self.log_sigma = _p(log_sigma)
+        self.log_alpha = _p(log_alpha)
+
+    def _cross(self, x, z):
+        ell = jnp.exp(self.log_ell)
+        sf2 = jnp.exp(2.0 * self.log_sigma)
+        alpha = jnp.exp(self.log_alpha)
+        r2 = sq_dist(x / ell, z / ell)
+        return sf2 * jnp.power(1.0 + 0.5 * r2 / alpha, -alpha)
+
+    def _diag(self, z):
+        sf2 = jnp.exp(2.0 * self.log_sigma)
+        return jnp.full(z.shape[0], 1.0, dtype=z.dtype) * sf2
+
+
+@register
+class PiecePoly(Kernel):
+    """Compactly-supported piecewise-polynomial kernel (Wendland functions),
+    v ∈ {0,1,2,3}. Reference cov.PiecePoly (hyp = [log_ell, log_sigma])."""
+
+    _hyp_fields = ("log_ell", "log_sigma")
+    _static_fields = ("v",)
+
+    def __init__(self, log_ell=0.0, log_sigma=0.0, v=2):
+        if v not in (0, 1, 2, 3):
+            raise ValueError("PiecePoly v must be in {0,1,2,3}")
+        self.log_ell = _p(log_ell)
+        self.log_sigma = _p(log_sigma)
+        self.v = int(v)
+
+    @staticmethod
+    def _poly(v, j, r):
+        if v == 0:
+            return jnp.ones_like(r)
+        if v == 1:
+            return (j + 1.0) * r + 1.0
+        if v == 2:
+            return ((j * j + 4.0 * j + 3.0) * r * r
+                    + (3.0 * j + 6.0) * r + 3.0) / 3.0
+        return ((j ** 3 + 9.0 * j * j + 23.0 * j + 15.0) * r ** 3
+                + (6.0 * j * j + 36.0 * j + 45.0) * r * r
+                + (15.0 * j + 45.0) * r + 15.0) / 15.0
+
+    def _cross(self, x, z):
+        ell = jnp.exp(self.log_ell)
+        sf2 = jnp.exp(2.0 * self.log_sigma)
+        D = x.shape[-1]
+        j = math.floor(D / 2.0) + self.v + 1
+        r = jnp.sqrt(sq_dist(x / ell, z / ell) + 1e-36)
+        base = jnp.maximum(1.0 - r, 0.0)
+        return sf2 * jnp.power(base, j + self.v) * self._poly(self.v, float(j), r)
+
+    def _diag(self, z):
+        sf2 = jnp.exp(2.0 * self.log_sigma)
+        D = z.shape[-1]
+        j = math.floor(D / 2.0) + self.v + 1
+        return jnp.full(z.shape[0], 1.0, dtype=z.dtype) * sf2 * self._poly(
+            self.v, float(j), jnp.asarray(0.0, z.dtype)
+        )
+
+
+@register
+class SM(Kernel):
+    """Spectral-mixture kernel (Wilson & Adams 2013):
+    k(τ) = Σ_q w_q Π_d exp(−2π² τ_d² v_qd) cos(2π τ_d μ_qd).
+    Reference cov.SM (hyp = [log_w (Q,), log_mean (Q·D,), log_var (Q·D,)])."""
+
+    _hyp_fields = ("log_w", "log_mean", "log_var")
+
+    def __init__(self, log_w=None, log_mean=None, log_var=None, Q=2, D=1):
+        self.log_w = _p(jnp.zeros(Q) if log_w is None else log_w)
+        self.log_mean = _p(jnp.zeros((Q, D)) if log_mean is None else log_mean)
+        self.log_var = _p(jnp.zeros((Q, D)) if log_var is None else log_var)
+
+    def _cross(self, x, z):
+        w = jnp.exp(self.log_w)          # (Q,)
+        mu = jnp.exp(self.log_mean)      # (Q, D)
+        v = jnp.exp(self.log_var)        # (Q, D)
+        tau = x[:, None, :] - z[None, :, :]           # (n, m, D)
+        # decay: exp of a sum over dims — a single einsum, (n, m, Q)
+        decay = jnp.exp(-2.0 * jnp.pi ** 2 *
+                        jnp.einsum("nmd,qd->nmq", tau * tau, v))
+        # phase: product over dims of cos(2π τ_d μ_qd), (n, m, Q)
+        phase = jnp.prod(
+            jnp.cos(2.0 * jnp.pi * tau[:, :, None, :] * mu[None, None, :, :]),
+            axis=-1,
+        )
+        return jnp.einsum("q,nmq->nm", w, decay * phase)
+
+    def _diag(self, z):
+        w = jnp.exp(self.log_w)
+        return jnp.full(z.shape[0], 1.0, dtype=z.dtype) * jnp.sum(w)
+
+
+# ---------------------------------------------------------------------------
+# Dot-product / constant / noise kernels
+# ---------------------------------------------------------------------------
+
+
+@register
+class Const(Kernel):
+    """Constant covariance sf². Reference cov.Const (hyp = [log_sigma])."""
+
+    _hyp_fields = ("log_sigma",)
+
+    def __init__(self, log_sigma=0.0):
+        self.log_sigma = _p(log_sigma)
+
+    def _cross(self, x, z):
+        sf2 = jnp.exp(2.0 * self.log_sigma)
+        return jnp.full((x.shape[0], z.shape[0]), 1.0, dtype=x.dtype) * sf2
+
+    def _diag(self, z):
+        sf2 = jnp.exp(2.0 * self.log_sigma)
+        return jnp.full(z.shape[0], 1.0, dtype=z.dtype) * sf2
+
+
+@register
+class Linear(Kernel):
+    """Linear kernel sf² x·zᵀ. Reference cov.Linear (hyp = [log_sigma])."""
+
+    _hyp_fields = ("log_sigma",)
+
+    def __init__(self, log_sigma=0.0):
+        self.log_sigma = _p(log_sigma)
+
+    def _cross(self, x, z):
+        sf2 = jnp.exp(2.0 * self.log_sigma)
+        return sf2 * (x @ z.T)
+
+    def _diag(self, z):
+        sf2 = jnp.exp(2.0 * self.log_sigma)
+        return sf2 * jnp.sum(z * z, axis=-1)
+
+
+@register
+class LINard(Kernel):
+    """ARD linear kernel (x/ℓ)·(z/ℓ)ᵀ. Reference cov.LINard
+    (hyp = [log_ell_1..d])."""
+
+    _hyp_fields = ("log_ell",)
+
+    def __init__(self, log_ell=None, D=None):
+        if log_ell is None:
+            log_ell = jnp.zeros(D if D is not None else 1)
+        self.log_ell = _p(log_ell)
+
+    def _cross(self, x, z):
+        ell = jnp.exp(self.log_ell)
+        return (x / ell) @ (z / ell).T
+
+    def _diag(self, z):
+        ell = jnp.exp(self.log_ell)
+        zs = z / ell
+        return jnp.sum(zs * zs, axis=-1)
+
+
+@register
+class Poly(Kernel):
+    """Polynomial kernel sf² (c + x·zᵀ)^d. Reference cov.Poly
+    (hyp = [log_c, log_sigma]; degree d static)."""
+
+    _hyp_fields = ("log_c", "log_sigma")
+    _static_fields = ("d",)
+
+    def __init__(self, log_c=0.0, log_sigma=0.0, d=2):
+        self.log_c = _p(log_c)
+        self.log_sigma = _p(log_sigma)
+        self.d = int(d)
+
+    def _cross(self, x, z):
+        c = jnp.exp(self.log_c)
+        sf2 = jnp.exp(2.0 * self.log_sigma)
+        return sf2 * jnp.power(c + x @ z.T, self.d)
+
+    def _diag(self, z):
+        c = jnp.exp(self.log_c)
+        sf2 = jnp.exp(2.0 * self.log_sigma)
+        return sf2 * jnp.power(c + jnp.sum(z * z, axis=-1), self.d)
+
+
+@register
+class Noise(Kernel):
+    """White noise sn² δ(x, z). Reference cov.Noise (hyp = [log_sigma]):
+    train mode → sn²·I, cross mode → 0, self_test → sn²."""
+
+    _hyp_fields = ("log_sigma",)
+
+    def __init__(self, log_sigma=0.0):
+        self.log_sigma = _p(log_sigma)
+
+    def _cross(self, x, z):
+        return jnp.zeros((x.shape[0], z.shape[0]), dtype=x.dtype) * jnp.exp(self.log_sigma)
+
+    def _diag(self, z):
+        sn2 = jnp.exp(2.0 * self.log_sigma)
+        return jnp.full(z.shape[0], 1.0, dtype=z.dtype) * sn2
+
+    def _train(self, x):
+        sn2 = jnp.exp(2.0 * self.log_sigma)
+        return sn2 * jnp.eye(x.shape[0], dtype=x.dtype)
+
+
+@register
+class Pre(Kernel):
+    """Precomputed-kernel hand-off (graph kernels). Reference cov.Pre:
+    constructed from ``M1`` ((n_train+1) × n_test: cross-covariances with the
+    test self-variances in the last row) and ``M2`` (n_train × n_train Gram).
+    The matrices are constants (no trainable hyperparameters); train/cross/
+    self_test modes slice them.  Inputs ``x``/``z`` are used only for their
+    leading dimension (index semantics), matching the reference.
+    """
+
+    _hyp_fields = ()
+    _static_fields = ("M1", "M2")
+
+    def __init__(self, M1, M2):
+        self.M1 = M1 if isinstance(M1, HashableArray) else HashableArray(M1)
+        self.M2 = M2 if isinstance(M2, HashableArray) else HashableArray(M2)
+
+    def _train(self, x):
+        n = x.shape[0]
+        return self.M2.value[:n, :n].astype(x.dtype)
+
+    def _cross(self, x, z):
+        n, m = x.shape[0], z.shape[0]
+        return self.M1.value[:n, :m].astype(x.dtype)
+
+    def _diag(self, z):
+        m = z.shape[0]
+        return self.M1.value[-1, :m].astype(z.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Composites
+# ---------------------------------------------------------------------------
+
+
+@register
+class Sum(Kernel):
+    """k1 + k2. Reference cov.SumOfKernel."""
+
+    _hyp_fields = ("left", "right")
+
+    def __init__(self, left, right):
+        self.left = left
+        self.right = right
+
+    def _cross(self, x, z):
+        return self.left._cross(x, z) + self.right._cross(x, z)
+
+    def _diag(self, z):
+        return self.left._diag(z) + self.right._diag(z)
+
+    def _train(self, x):
+        return self.left._train(x) + self.right._train(x)
+
+
+@register
+class Product(Kernel):
+    """k1 · k2. Reference cov.ProductOfKernel."""
+
+    _hyp_fields = ("left", "right")
+
+    def __init__(self, left, right):
+        self.left = left
+        self.right = right
+
+    def _cross(self, x, z):
+        return self.left._cross(x, z) * self.right._cross(x, z)
+
+    def _diag(self, z):
+        return self.left._diag(z) * self.right._diag(z)
+
+    def _train(self, x):
+        return self.left._train(x) * self.right._train(x)
+
+
+@register
+class Scale(Kernel):
+    """a · k with the scale itself a (log-)hyperparameter.
+    Reference cov.ScaleOfKernel (created by ``number * kernel``)."""
+
+    _hyp_fields = ("log_scale", "inner")
+
+    def __init__(self, inner, scale=1.0, log_scale=None):
+        self.log_scale = _p(
+            log_scale if log_scale is not None else math.log(scale)
+        )
+        self.inner = inner
+
+    def _cross(self, x, z):
+        return jnp.exp(self.log_scale) * self.inner._cross(x, z)
+
+    def _diag(self, z):
+        return jnp.exp(self.log_scale) * self.inner._diag(z)
+
+    def _train(self, x):
+        return jnp.exp(self.log_scale) * self.inner._train(x)
+
+
+@register
+class FITC(Kernel):
+    """FITC wrapper around any kernel with fixed inducing inputs ``xu``.
+    Reference cov.FITCOfKernel: train mode returns the triple
+    (diag Kff, Kuu, Kuf); cross mode returns K(u, xs) so that FITC
+    posteriors (over inducing values) predict with the same formulas.
+
+    ``xu`` is non-trainable (as in the reference); SVGP (inference/svgp.py)
+    owns trainable inducing points separately.
+    """
+
+    _hyp_fields = ("inner",)
+    _static_fields = ("xu",)
+
+    def __init__(self, inner, xu):
+        self.inner = inner
+        self.xu = xu if isinstance(xu, HashableArray) else HashableArray(
+            config.asarray(xu)
+        )
+
+    @property
+    def inducing(self):
+        return self.xu.value
+
+    def fitc_train(self, x):
+        """(diag Kff, Kuu, Kuf) — the reference's train-mode triple."""
+        u = self.xu.value.astype(x.dtype)
+        diagKff = self.inner._diag(x)
+        Kuu = self.inner._train(u)
+        Kuf = self.inner._cross(u, x)
+        return diagKff, Kuu, Kuf
+
+    def _train(self, x):
+        raise TypeError(
+            "FITC kernels expose fitc_train(x) -> (diagKff, Kuu, Kuf); "
+            "dense Ktrain is deliberately unavailable."
+        )
+
+    def _cross(self, x, z):
+        # Cross-covariance between inducing points and test inputs: the FITC
+        # posterior lives on the inducing values (reference gp.py predict +
+        # inf.FITC_* contract).
+        u = self.xu.value.astype(z.dtype)
+        return self.inner._cross(u, z)
+
+    def _diag(self, z):
+        return self.inner._diag(z)
+
+    def getCovMatrix(self, x=None, z=None, mode=None):
+        if mode == "train":
+            return self.fitc_train(config.asarray(x))
+        return super().getCovMatrix(x, z, mode)
+
+
+__all__ = [
+    "Kernel", "RBF", "RBFunit", "RBFard", "Const", "Linear", "LINard",
+    "Matern", "Periodic", "RQ", "RQard", "Poly", "PiecePoly", "Noise",
+    "SM", "Pre", "Sum", "Product", "Scale", "FITC", "HashableArray",
+]

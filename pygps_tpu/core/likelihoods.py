@@ -1,0 +1,306 @@
+"""Likelihood functions with a typed inference interface.
+
+TPU-native counterpart of pyGPs ``pyGPs/Core/lik.py`` (Gauss, Erf, Laplace,
+Logistic).  The reference's single mode-dispatched
+``evaluate(y, mu, s2, inffunc, der, nargout)`` — which branches on
+``isinstance(inffunc, inf.EP/inf.Laplace/None)`` (lik.py:~80-400) — is
+replaced by explicit typed methods (SURVEY.md §7.1 delta 2):
+
+* ``log_density(y, f)``       — elementwise log p(y|f)
+* ``laplace_derivs(y, f)``    — (lp, d1, d2, d3) wrt f   [Laplace mode]
+* ``ep_moments(y, mu, s2)``   — (lZ, dlZ, d2lZ) of ∫p(y|f)N(f|mu,s2)df [EP mode]
+* ``predict(fmu, fs2, y=None)`` — (lp, ymu, ys2)          [prediction mode]
+
+Closed forms are implemented for Gauss and Erf (the two the reference
+exercises in its demos); Laplace and Logistic fall back to Gauss–Hermite
+quadrature + autodiff where no stable closed form is short.  A
+reference-compatible ``evaluate`` shim is kept for API parity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import log_ndtr, logsumexp
+
+from pygps_tpu import config
+from pygps_tpu.core.functor import Functor, register, _p
+
+# 32-point Gauss–Hermite rule (physicists'): ∫ g(f) N(f|μ,σ²) df
+# ≈ (1/√π) Σ w_i g(μ + √2 σ t_i).  Precomputed once in float64.
+_GH_T, _GH_W = np.polynomial.hermite.hermgauss(32)
+
+
+def _norm_logpdf(z):
+    return -0.5 * z * z - 0.5 * jnp.log(2.0 * jnp.pi)
+
+
+def _inv_mills(z):
+    """φ(z)/Φ(z), computed stably in log space."""
+    return jnp.exp(_norm_logpdf(z) - log_ndtr(z))
+
+
+class Likelihood(Functor):
+    """Base likelihood with quadrature/autodiff fallbacks."""
+
+    # -- core: must override ----------------------------------------------
+    def log_density(self, y, f):
+        raise NotImplementedError
+
+    # -- Laplace-mode derivatives (fallback: autodiff) ---------------------
+    def laplace_derivs(self, y, f):
+        ld = lambda yi, fi: self.log_density(yi, fi)
+        d1 = jax.grad(ld, argnums=1)
+        d2 = jax.grad(d1, argnums=1)
+        d3 = jax.grad(d2, argnums=1)
+        lp = jax.vmap(ld)(y, f)
+        return (lp, jax.vmap(d1)(y, f), jax.vmap(d2)(y, f), jax.vmap(d3)(y, f))
+
+    # -- EP-mode moments (fallback: Gauss–Hermite + autodiff) --------------
+    def _lZ_scalar(self, y, mu, s2):
+        t = jnp.asarray(_GH_T, mu.dtype)
+        w = jnp.asarray(_GH_W, mu.dtype)
+        f = mu + jnp.sqrt(2.0 * jnp.maximum(s2, 1e-20)) * t
+        ld = self.log_density(y, f)
+        return logsumexp(ld + jnp.log(w)) - 0.5 * jnp.log(jnp.pi)
+
+    def ep_moments(self, y, mu, s2):
+        lZ_fn = self._lZ_scalar
+        d1 = jax.grad(lZ_fn, argnums=1)
+        d2 = jax.grad(d1, argnums=1)
+        lZ = jax.vmap(lZ_fn)(y, mu, s2)
+        return lZ, jax.vmap(d1)(y, mu, s2), jax.vmap(d2)(y, mu, s2)
+
+    # -- prediction mode ---------------------------------------------------
+    def cond_mean(self, f):
+        """E[y | f] — override for quadrature-based predict."""
+        raise NotImplementedError
+
+    def cond_var(self, f):
+        """Var[y | f] — override for quadrature-based predict."""
+        raise NotImplementedError
+
+    def predict(self, fmu, fs2, y=None):
+        """(lp, ymu, ys2): predictive log-density (None if y is None),
+        predictive mean and variance of y*."""
+        t = jnp.asarray(_GH_T, fmu.dtype)
+        w = jnp.asarray(_GH_W, fmu.dtype)
+        sig = jnp.sqrt(2.0 * jnp.maximum(fs2, 1e-20))
+        f = fmu[:, None] + sig[:, None] * t[None, :]
+        wp = w / jnp.sqrt(jnp.pi)
+        m1 = jnp.sum(wp * self.cond_mean(f), axis=-1)
+        m2 = jnp.sum(wp * (self.cond_var(f) + self.cond_mean(f) ** 2), axis=-1)
+        ys2 = jnp.maximum(m2 - m1 * m1, 0.0)
+        lp = None
+        if y is not None:
+            lp = jax.vmap(self._lZ_scalar)(y, fmu, fs2)
+        return lp, m1, ys2
+
+    # -- pyGPs compat shim (lik.py evaluate) -------------------------------
+    def evaluate(self, y, mu, s2=None, inffunc=None, der=None, nargout=1):
+        from pygps_tpu.inference import engines
+
+        y = None if y is None else config.asarray(y).reshape(-1)
+        mu = config.asarray(mu).reshape(-1)
+        s2a = None if s2 is None else config.asarray(s2).reshape(-1)
+        if inffunc is None:
+            lp, ymu, ys2 = self.predict(mu, s2a, y=y)
+            out = (lp if lp is None else lp[:, None],
+                   ymu[:, None], ys2[:, None])
+        elif isinstance(inffunc, engines.EP):
+            lZ, dlZ, d2lZ = self.ep_moments(y, mu, s2a)
+            out = (lZ[:, None], dlZ[:, None], d2lZ[:, None])
+        elif isinstance(inffunc, engines.Laplace):
+            lp, d1, d2, d3 = self.laplace_derivs(y, mu)
+            out = (lp[:, None], d1[:, None], d2[:, None], d3[:, None])
+        else:
+            raise ValueError(f"unsupported inffunc {inffunc!r}")
+        return out[:nargout] if nargout > 1 else out[0]
+
+
+@register
+class Gauss(Likelihood):
+    """Gaussian likelihood N(y | f, sn²). Reference lik.Gauss
+    (hyp = [log_sigma])."""
+
+    _hyp_fields = ("log_sigma",)
+
+    def __init__(self, log_sigma=jnp.log(0.1)):
+        self.log_sigma = _p(log_sigma)
+
+    @property
+    def sn2(self):
+        return jnp.exp(2.0 * self.log_sigma)
+
+    def log_density(self, y, f):
+        sn2 = self.sn2
+        return -0.5 * (y - f) ** 2 / sn2 - 0.5 * jnp.log(2.0 * jnp.pi * sn2)
+
+    def laplace_derivs(self, y, f):
+        sn2 = self.sn2
+        r = y - f
+        lp = -0.5 * r * r / sn2 - 0.5 * jnp.log(2.0 * jnp.pi * sn2)
+        d1 = r / sn2
+        d2 = jnp.full_like(f, -1.0) / sn2
+        d3 = jnp.zeros_like(f)
+        return lp, d1, d2, d3
+
+    def ep_moments(self, y, mu, s2):
+        v = s2 + self.sn2
+        r = y - mu
+        lZ = -0.5 * r * r / v - 0.5 * jnp.log(2.0 * jnp.pi * v)
+        dlZ = r / v
+        d2lZ = -1.0 / v + jnp.zeros_like(mu)
+        return lZ, dlZ, d2lZ
+
+    def predict(self, fmu, fs2, y=None):
+        ys2 = fs2 + self.sn2
+        lp = None
+        if y is not None:
+            lp = -0.5 * (y - fmu) ** 2 / ys2 - 0.5 * jnp.log(2.0 * jnp.pi * ys2)
+        return lp, fmu, ys2
+
+    def cond_mean(self, f):
+        return f
+
+    def cond_var(self, f):
+        return jnp.full_like(f, 1.0) * self.sn2
+
+
+@register
+class Erf(Likelihood):
+    """Probit (cumulative-Gaussian) likelihood for ±1 classification:
+    p(y|f) = Φ(y·f). Reference lik.Erf (no hyperparameters)."""
+
+    def log_density(self, y, f):
+        return log_ndtr(y * f)
+
+    def laplace_derivs(self, y, f):
+        z = y * f
+        lp = log_ndtr(z)
+        r = _inv_mills(z)                 # φ/Φ
+        d1 = y * r                        # y² = 1
+        d2 = -(z * r + r * r)
+        rp = d2                           # d r / dz
+        d3 = y * (-r - z * rp - 2.0 * r * rp)
+        return lp, d1, d2, d3
+
+    def ep_moments(self, y, mu, s2):
+        c = jnp.sqrt(1.0 + s2)
+        z = y * mu / c
+        lZ = log_ndtr(z)
+        r = _inv_mills(z)
+        dlZ = y * r / c
+        d2lZ = -r * (z + r) / (1.0 + s2)
+        return lZ, dlZ, d2lZ
+
+    def predict(self, fmu, fs2, y=None):
+        # p(y*=1) = Φ(fmu/√(1+fs2)); ymu = 2p−1; ys2 = 1 − ymu²
+        c = jnp.sqrt(1.0 + fs2)
+        p = jnp.exp(log_ndtr(fmu / c))
+        ymu = 2.0 * p - 1.0
+        ys2 = jnp.maximum(1.0 - ymu * ymu, 0.0)
+        lp = None
+        if y is not None:
+            lp = log_ndtr(y * fmu / c)
+        return lp, ymu, ys2
+
+    def cond_mean(self, f):
+        return 2.0 * jnp.exp(log_ndtr(f)) - 1.0
+
+    def cond_var(self, f):
+        m = self.cond_mean(f)
+        return jnp.maximum(1.0 - m * m, 0.0)
+
+
+@register
+class Laplace(Likelihood):
+    """Laplace (double-exponential) likelihood for robust regression:
+    p(y|f) = exp(−|y−f|/b)/(2b) with b = sn/√2 so Var = sn².
+    Reference lik.Laplace (hyp = [log_sigma]).
+
+    Laplace-mode derivatives are the subgradient forms (d2 = d3 = 0 a.e.);
+    EP moments use the quadrature fallback (the reference integrates
+    analytically; parity is to solver tolerance)."""
+
+    _hyp_fields = ("log_sigma",)
+
+    def __init__(self, log_sigma=jnp.log(0.1)):
+        self.log_sigma = _p(log_sigma)
+
+    @property
+    def b(self):
+        return jnp.exp(self.log_sigma) / jnp.sqrt(2.0)
+
+    def log_density(self, y, f):
+        b = self.b
+        return -jnp.abs(y - f) / b - jnp.log(2.0 * b)
+
+    def laplace_derivs(self, y, f):
+        b = self.b
+        r = y - f
+        lp = -jnp.abs(r) / b - jnp.log(2.0 * b)
+        d1 = jnp.sign(r) / b
+        d2 = jnp.zeros_like(f)
+        d3 = jnp.zeros_like(f)
+        return lp, d1, d2, d3
+
+    def predict(self, fmu, fs2, y=None):
+        sn2 = jnp.exp(2.0 * self.log_sigma)
+        lp = None
+        if y is not None:
+            lp = jax.vmap(self._lZ_scalar)(y, fmu, fs2)
+        return lp, fmu, fs2 + sn2
+
+    def cond_mean(self, f):
+        return f
+
+    def cond_var(self, f):
+        return jnp.full_like(f, 1.0) * jnp.exp(2.0 * self.log_sigma)
+
+
+@register
+class Logistic(Likelihood):
+    """Logistic (sigmoid) likelihood for ±1 classification:
+    p(y|f) = 1/(1+exp(−y·f)). Reference lik.Logistic (no hyperparameters;
+    flagged possibly incomplete upstream — here fully supported via
+    closed-form Laplace derivatives and quadrature EP moments)."""
+
+    def log_density(self, y, f):
+        return -jnp.logaddexp(0.0, -y * f)
+
+    def laplace_derivs(self, y, f):
+        z = y * f
+        lp = -jnp.logaddexp(0.0, -z)
+        s = jax.nn.sigmoid(-z)            # 1 − p
+        d1 = y * s
+        p = jax.nn.sigmoid(z)
+        d2 = -p * s
+        d3 = y * (-p * s * (s - p))
+        return lp, d1, d2, d3
+
+    def predict(self, fmu, fs2, y=None):
+        t = jnp.asarray(_GH_T, fmu.dtype)
+        w = jnp.asarray(_GH_W, fmu.dtype)
+        sig = jnp.sqrt(2.0 * jnp.maximum(fs2, 1e-20))
+        f = fmu[:, None] + sig[:, None] * t[None, :]
+        wp = w / jnp.sqrt(jnp.pi)
+        p1 = jnp.sum(wp * jax.nn.sigmoid(f), axis=-1)
+        ymu = 2.0 * p1 - 1.0
+        ys2 = jnp.maximum(1.0 - ymu * ymu, 0.0)
+        lp = None
+        if y is not None:
+            lp = jax.vmap(self._lZ_scalar)(y, fmu, fs2)
+        return lp, ymu, ys2
+
+    def cond_mean(self, f):
+        return 2.0 * jax.nn.sigmoid(f) - 1.0
+
+    def cond_var(self, f):
+        m = self.cond_mean(f)
+        return jnp.maximum(1.0 - m * m, 0.0)
+
+
+__all__ = ["Likelihood", "Gauss", "Erf", "Laplace", "Logistic"]

@@ -1,0 +1,171 @@
+"""Inference engine objects — the pluggable layer models dispatch on.
+
+Counterpart of pyGPs ``inf.py``'s engine classes (Exact, Laplace, EP,
+FITC_Exact, FITC_Laplace, FITC_EP) and its ``postStruct``/``dnlZStruct``
+contracts.  Each engine wraps the pure jit-compatible functions in its
+module and exposes:
+
+* ``evaluate_fn``  — (mean, kernel, lik, x, y, **extra) → (Posterior, nlZ)
+* ``nlml_fn``      — differentiable NLML for optimizers/samplers
+* ``evaluate(...)``— pyGPs-compatible: returns (post, nlZ, dnlZ) with dnlZ
+  a :class:`DnlZ` of flat per-block gradient lists (autodiff).
+
+EP statefulness: the reference caches ``last_ttau/last_tnu`` on the engine
+instance to warm-start across ``evaluate`` calls during optimization
+(inf.py:~500, SURVEY.md §2.4).  The EP engines here reproduce that outside
+jit: converged sites are stored on the instance and passed as ``ttau0/tnu0``
+next call (shape-guarded).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax import tree_util
+
+from pygps_tpu import config
+from pygps_tpu.inference import ep as _ep
+from pygps_tpu.inference import exact as _exact
+from pygps_tpu.inference import fitc as _fitc
+from pygps_tpu.inference import laplace as _laplace
+
+
+class DnlZ:
+    """pyGPs dnlZStruct-compatible: .mean/.cov/.lik flat gradient lists."""
+
+    def __init__(self, dmean, dcov, dlik):
+        self.mean = dmean
+        self.cov = dcov
+        self.lik = dlik
+
+    def __repr__(self):
+        return f"DnlZ(mean={self.mean}, cov={self.cov}, lik={self.lik})"
+
+
+def _flat(grad_functor):
+    out = []
+    for leaf in tree_util.tree_leaves(grad_functor):
+        out.extend(np.atleast_1d(np.asarray(leaf)).reshape(-1).tolist())
+    return out
+
+
+class Inference:
+    """Base engine."""
+
+    def _evaluate(self, mean, kernel, lik, x, y):
+        raise NotImplementedError
+
+    def _nlml(self):
+        raise NotImplementedError
+
+    # -- model-facing ------------------------------------------------------
+    def evaluate_fn(self):
+        return self._evaluate
+
+    def nlml_fn(self):
+        return self._nlml()
+
+    def extra(self):
+        """Engine-specific extra kwargs threaded into nlml/evaluate
+        (e.g. EP warm-start sites)."""
+        return {}
+
+    def update_state(self, aux):
+        """Hook for stateful engines (EP warm start)."""
+
+    # -- pyGPs compat ------------------------------------------------------
+    def evaluate(self, meanfunc, covfunc, likfunc, x, y, nargout=3):
+        x = config.asarray(x)
+        y = config.asarray(y).reshape(-1)
+        post, nlZ = self._evaluate(meanfunc, covfunc, likfunc, x, y)
+        if nargout <= 1:
+            return post
+        if nargout == 2:
+            return post, nlZ
+        nlml = self._nlml()
+        gm, gk, gl = jax.grad(nlml, argnums=(0, 1, 2))(
+            meanfunc, covfunc, likfunc, x, y)
+        return post, float(nlZ), DnlZ(_flat(gm), _flat(gk), _flat(gl))
+
+
+class Exact(Inference):
+    """Reference inf.Exact."""
+
+    def _evaluate(self, mean, kernel, lik, x, y):
+        return _exact.evaluate(mean, kernel, lik, x, y)
+
+    def _nlml(self):
+        return _exact.nlml
+
+
+class Laplace(Inference):
+    """Reference inf.Laplace."""
+
+    def _evaluate(self, mean, kernel, lik, x, y):
+        return _laplace.evaluate(mean, kernel, lik, x, y)
+
+    def _nlml(self):
+        return _laplace.nlml
+
+
+class EP(Inference):
+    """Reference inf.EP (stateful warm start reproduced outside jit)."""
+
+    def __init__(self):
+        self.last_ttau = None
+        self.last_tnu = None
+
+    def _evaluate(self, mean, kernel, lik, x, y, ttau0=None, tnu0=None):
+        if ttau0 is None:
+            ttau0, tnu0 = self._warm(y)
+        post, nlZ, (ttau, tnu) = _ep.evaluate(
+            mean, kernel, lik, x, y, ttau0, tnu0)
+        self.last_ttau = np.asarray(ttau)
+        self.last_tnu = np.asarray(tnu)
+        return post, nlZ
+
+    def _warm(self, y):
+        if (self.last_ttau is not None
+                and self.last_ttau.shape == np.shape(y)):
+            return (config.asarray(self.last_ttau),
+                    config.asarray(self.last_tnu))
+        return None, None
+
+    def _nlml(self):
+        return _ep.nlml
+
+
+class FITC_Exact(Inference):
+    """Reference inf.FITC_Exact."""
+
+    def _evaluate(self, mean, kernel, lik, x, y):
+        return _fitc.exact_evaluate(mean, kernel, lik, x, y)
+
+    def _nlml(self):
+        return _fitc.exact_nlml
+
+
+class FITC_Laplace(Inference):
+    """Reference inf.FITC_Laplace (dense-prior fallback, see fitc.py)."""
+
+    def _evaluate(self, mean, kernel, lik, x, y):
+        return _fitc.laplace_evaluate(mean, kernel, lik, x, y)
+
+    def _nlml(self):
+        return _fitc.laplace_nlml
+
+
+class FITC_EP(Inference):
+    """Reference inf.FITC_EP (dense-prior fallback, see fitc.py)."""
+
+    def _evaluate(self, mean, kernel, lik, x, y):
+        post, nlZ, _ = _fitc.ep_evaluate(mean, kernel, lik, x, y)
+        return post, nlZ
+
+    def _nlml(self):
+        return _fitc.ep_nlml
+
+
+__all__ = ["Inference", "Exact", "Laplace", "EP",
+           "FITC_Exact", "FITC_Laplace", "FITC_EP", "DnlZ"]

@@ -1,0 +1,58 @@
+"""Exact Gaussian-process inference (Gaussian likelihood).
+
+TPU-native counterpart of pyGPs ``inf.Exact`` (inf.py:~100-200).  The
+reference's math is kept exactly (§2.4 of SURVEY.md):
+
+    sn2   = exp(2·lik.log_sigma)
+    B     = K/sn2 + I,   L = chol(B)           (lower here)
+    alpha = B⁻¹ (y − m) / sn2
+    nlZ   = (y−m)ᵀα/2 + Σ log diag L + (n/2)·log(2π·sn2)
+
+but the entire hand-derived gradient block (Q = B⁻¹/sn2 − ααᵀ, per-hyp
+trace products) is deleted: ``dnlZ`` is ``jax.grad`` of :func:`nlml` over
+the (mean, kernel, lik) pytree.  Everything here is jit-compatible; the
+O(n³) Cholesky is XLA's (or, for the distributed path, the block Cholesky
+in parallel/pcholesky.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pygps_tpu.core.posteriors import Posterior
+from pygps_tpu.utils.tools import safe_cholesky, solve_chol
+
+
+def _common(mean, kernel, lik, x, y):
+    n = x.shape[0]
+    K = kernel.Ktrain(x)
+    m = mean(x)
+    sn2 = jnp.exp(2.0 * lik.log_sigma)
+    B = K / sn2 + jnp.eye(n, dtype=x.dtype)
+    L, _ = safe_cholesky(B)
+    r = y - m
+    alpha = solve_chol(L, r) / sn2
+    nlZ = (0.5 * jnp.dot(r, alpha)
+           + jnp.sum(jnp.log(jnp.diag(L)))
+           + 0.5 * n * jnp.log(2.0 * jnp.pi * sn2))
+    return L, alpha, sn2, nlZ
+
+
+def posterior(mean, kernel, lik, x, y) -> Posterior:
+    L, alpha, sn2, _ = _common(mean, kernel, lik, x, y)
+    sW = jnp.full(x.shape[0], 1.0, dtype=x.dtype) / jnp.sqrt(sn2)
+    return Posterior(alpha=alpha, sW=sW, L=L, is_tril=True)
+
+
+def nlml(mean, kernel, lik, x, y) -> jax.Array:
+    """Negative log marginal likelihood — differentiable in all
+    hyperparameters via the functor pytrees."""
+    return _common(mean, kernel, lik, x, y)[3]
+
+
+def evaluate(mean, kernel, lik, x, y):
+    """(Posterior, nlZ) in one pass — the engine entry point."""
+    L, alpha, sn2, nlZ = _common(mean, kernel, lik, x, y)
+    sW = jnp.full(x.shape[0], 1.0, dtype=x.dtype) / jnp.sqrt(sn2)
+    return Posterior(alpha=alpha, sW=sW, L=L, is_tril=True), nlZ

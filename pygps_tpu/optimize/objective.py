@@ -1,0 +1,41 @@
+"""NLML objective construction: flat hyp vector ↔ functor pytrees.
+
+TPU-native counterpart of pyGPs ``opt.py``'s pack/unpack helpers and its
+``nlml_with_grad`` closure (opt.py:~100): here the flattening is
+``jax.flatten_util.ravel_pytree`` over the (mean, kernel, lik) triple —
+which reproduces the reference's depth-first hyp ordering — and the
+gradient is autodiff instead of assembled ``dnlZ`` structs.  The closure is
+jitted once; host-side optimizers (Rasmussen CG, SCG, scipy) call it with
+numpy vectors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+
+def make_objective(inference_fn, mean, kernel, lik, x, y, extra=None):
+    """Build ``(f, theta0, unravel)`` where ``f(theta) -> (nlZ, grad)`` is a
+    jitted value-and-grad of the NLML at flat hyp vector ``theta``.
+
+    ``inference_fn(mean, kernel, lik, x, y, **extra) -> nlZ`` must be a pure
+    differentiable function (e.g. inference.exact.nlml).
+    """
+    extra = extra or {}
+    theta0, unravel = ravel_pytree((mean, kernel, lik))
+
+    def loss(theta):
+        m, k, l = unravel(theta)
+        return inference_fn(m, k, l, x, y, **extra)
+
+    vg = jax.jit(jax.value_and_grad(loss))
+
+    def f(theta):
+        v, g = vg(jnp.asarray(theta, dtype=theta0.dtype))
+        return np.asarray(v), np.asarray(g)
+
+    return f, np.asarray(theta0), unravel

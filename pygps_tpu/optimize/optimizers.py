@@ -1,0 +1,196 @@
+"""Optimizer façade: flat-hyp optimizers with random restarts.
+
+Counterpart of pyGPs ``Core/opt.py`` (classes Minimize, SCG, CG, BFGS and
+the restart loop).  Additions beyond the reference: ``Adam`` and ``LBFGS``
+(optax, fully jitted update loop) for large-scale problems, and the NUTS
+sampler lives separately in inference/nuts.py.
+
+The objective closure comes from objective.py (jitted NLML value+grad over
+the raveled (mean, kernel, lik) pytree, which reproduces the reference's
+flat hyp ordering).  As in the reference, exceptions/NaNs during a restart
+cause that restart to be skipped (opt.py:~150, verify-tagged).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.flatten_util import ravel_pytree
+
+from pygps_tpu.optimize import minimize as _minimize
+from pygps_tpu.optimize import scg as _scg
+from pygps_tpu.optimize.objective import make_objective
+
+
+class Optimizer:
+    """Base optimizer. ``model`` is consulted lazily so the same optimizer
+    object survives ``setPrior``/``setData`` calls (as in the reference)."""
+
+    def __init__(self, model=None, searchConfig=None):
+        self.model = model
+        self.searchConfig = searchConfig
+        self.trailsNum = 3   # reference attribute name (number of trials)
+
+    # -- single run --------------------------------------------------------
+    def _run(self, f, theta0, num_iters):
+        raise NotImplementedError
+
+    # -- public: optimize with restarts ------------------------------------
+    def findMin(self, x, y, numIters=100):
+        """Returns (optimal_hyp_vector, best_nlZ). Mirrors
+        opt.Optimizer.findMin(x, y, numIters)."""
+        model = self.model
+        f, theta0, unravel = make_objective(
+            model._inference_nlml(), model.meanfunc, model.covfunc,
+            model.likfunc, x, y, extra=model._inference_extra(),
+        )
+        best_theta, best_val = self._safe_run(f, theta0, numIters)
+
+        cfg = self.searchConfig
+        if cfg is not None and getattr(cfg, "num_restarts", 0):
+            rng = np.random.default_rng(0)
+            ranges = (list(cfg.mean_range) + list(cfg.cov_range)
+                      + list(cfg.lik_range))
+            for _ in range(int(cfg.num_restarts) - 1):
+                if len(ranges) == len(theta0):
+                    t0 = np.array([rng.uniform(lo, hi) for lo, hi in ranges])
+                else:  # fall back to perturbing the initial point
+                    t0 = theta0 + rng.normal(size=theta0.shape)
+                th, v = self._safe_run(f, t0, numIters)
+                if v < best_val:
+                    best_theta, best_val = th, v
+                if (cfg.min_threshold is not None
+                        and best_val < cfg.min_threshold):
+                    break
+        return best_theta, best_val
+
+    def _safe_run(self, f, theta0, num_iters):
+        try:
+            theta, history, _ = self._run(f, theta0, num_iters)
+            val = history[-1] if history else np.inf
+            if not np.isfinite(val):
+                return theta0, np.inf
+            return theta, float(val)
+        except (FloatingPointError, np.linalg.LinAlgError, ValueError):
+            return theta0, np.inf
+
+
+class Minimize(Optimizer):
+    """Rasmussen-style CG (reference opt.Minimize)."""
+
+    def _run(self, f, theta0, num_iters):
+        return _minimize.run(f, theta0, length=-int(max(num_iters, 1) * 3))
+
+
+class SCG(Optimizer):
+    """Scaled conjugate gradients (reference opt.SCG)."""
+
+    def _run(self, f, theta0, num_iters):
+        return _scg.run(f, theta0, niters=int(num_iters))
+
+
+class _Scipy(Optimizer):
+    method = "CG"
+
+    def _run(self, f, theta0, num_iters):
+        from scipy import optimize as sopt
+
+        vals = []
+
+        def fun(t):
+            v, g = f(t)
+            if np.isfinite(v):
+                vals.append(float(v))
+            return (float(v) if np.isfinite(v) else 1e25,
+                    np.where(np.isfinite(g), g, 0.0))
+
+        res = sopt.minimize(fun, theta0, jac=True, method=self.method,
+                            options={"maxiter": int(num_iters)})
+        final = float(res.fun)
+        return res.x, (vals if vals else [final]) + [final], res.nit
+
+
+class CG(_Scipy):
+    """scipy conjugate gradients (reference opt.CG)."""
+    method = "CG"
+
+
+class BFGS(_Scipy):
+    """scipy BFGS (reference opt.BFGS)."""
+    method = "BFGS"
+
+
+class _Optax(Optimizer):
+    """Fully jitted optax loop (TPU-resident; no host round-trips per step)."""
+
+    needs_value = False
+
+    def make_tx(self):
+        raise NotImplementedError
+
+    def _run(self, f, theta0, num_iters):
+        # Rebuild the loss from the model so the whole loop jits on-device.
+        import jax.flatten_util as fu
+
+        model = self.model
+        theta0_j = jnp.asarray(theta0)
+        mean, kernel, lik = model.meanfunc, model.covfunc, model.likfunc
+        _, unravel = fu.ravel_pytree((mean, kernel, lik))
+        nlml_fn = model._inference_nlml()
+        extra = model._inference_extra()
+        x, y = model.x, model.y
+
+        def loss(t):
+            m, k, l = unravel(t)
+            return nlml_fn(m, k, l, x, y, **extra)
+
+        tx = self.make_tx()
+        vg = jax.value_and_grad(loss)
+        needs_value = self.needs_value
+
+        def step(carry, _):
+            t, opt_state = carry
+            v, g = vg(t)
+            g = jnp.where(jnp.isfinite(g), g, 0.0)
+            if needs_value:
+                updates, opt_state = tx.update(
+                    g, opt_state, t, value=v, grad=g, value_fn=loss)
+            else:
+                updates, opt_state = tx.update(g, opt_state, t)
+            t_new = optax.apply_updates(t, updates)
+            # reject non-finite steps (keeps parity with restart skipping)
+            t_new = jnp.where(jnp.isfinite(t_new), t_new, t)
+            return (t_new, opt_state), v
+
+        @jax.jit
+        def run_loop(t0):
+            return jax.lax.scan(step, (t0, tx.init(t0)), None,
+                                length=int(num_iters))
+
+        (theta, _), vals = run_loop(theta0_j)
+        vals = np.asarray(vals)
+        # append the final value for "best nlZ at returned point" semantics
+        final = float(f(np.asarray(theta))[0])
+        return np.asarray(theta), [float(v) for v in vals] + [final], int(num_iters)
+
+
+class Adam(_Optax):
+    def __init__(self, model=None, searchConfig=None, lr=0.05):
+        super().__init__(model, searchConfig)
+        self.lr = lr
+
+    def make_tx(self):
+        return optax.adam(self.lr)
+
+
+class LBFGS(_Optax):
+    needs_value = True
+
+    def make_tx(self):
+        return optax.lbfgs()
+
+
+__all__ = ["Optimizer", "Minimize", "SCG", "CG", "BFGS", "Adam", "LBFGS"]
