@@ -88,9 +88,16 @@ def exact_nlml(mean, kernel, lik, x, y):
 # ---------------------------------------------------------------------------
 
 
-class _FITCPriorKernel:
+from pygps_tpu.core.functor import Functor, register
+
+
+@register
+class _FITCPriorKernel(Functor):
     """Adapter presenting the FITC prior K̂ as a dense kernel to the
-    standard Laplace/EP engines (duck-types Ktrain only)."""
+    standard Laplace/EP engines (duck-types Ktrain only). Registered as a
+    pytree so it can flow through jit/grad/stop_gradient."""
+
+    _hyp_fields = ("kernel", "sn2")
 
     def __init__(self, kernel, sn2_for_jitter):
         self.kernel = kernel
