@@ -1,0 +1,135 @@
+"""Distributed exact GP inference over a device mesh.
+
+The n=100k north star (BASELINE.md): the Gram matrix is born sharded
+(ring_gram.gram_bc), factored by the distributed blocked Cholesky
+(pcholesky), and NLML + gradients never materialise an unsharded n×n array.
+
+Gradient strategy: reverse-differentiating through the panel loop would
+checkpoint every panel state (O(n²·n/b) memory).  Instead the NLML as a
+function of (K_bc, m, sn2, y) gets the *analytic* reference gradients
+(inf.Exact dnlZ assembly, inf.py:~180, SURVEY.md §2.4) via jax.custom_vjp:
+
+    Q         = K̃⁻¹ − ααᵀ           (K̃ = K + sn2·I, via pinv_chol)
+    ∂nlZ/∂K   = Q/2
+    ∂nlZ/∂m   = −α
+    ∂nlZ/∂sn2 = tr(Q)/2
+    ∂nlZ/∂y   = α
+
+Autodiff then carries these cotangents through the (local, shard_map'ed)
+Gram construction into kernel/mean hyperparameters — hand-derived matrix
+calculus only where structurally necessary, autodiff everywhere else.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax, shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from pygps_tpu.parallel import mesh as pmesh
+from pygps_tpu.parallel.pcholesky import pcholesky, plogdet_chol, psolve_chol
+from pygps_tpu.parallel.pinverse import pinv_chol
+from pygps_tpu.parallel.ring_gram import gram_bc
+
+
+def _factor_solve(K_bc, r, sn2, mesh_, axis):
+    """L of K̃/sn2 + ... — factor B = (K + sn2 I) directly in bc layout."""
+    p, m, b, n = K_bc.shape
+
+    def add_diag(Kl):
+        Kl = Kl[0]
+        d = lax.axis_index(axis)
+        gidx = d + p * jnp.arange(m)
+        col = jax.vmap(lambda g: g * b + jnp.arange(b))(gidx)      # (m, b)
+        eye_rows = (col[:, :, None] ==
+                    jnp.arange(n)[None, None, :]).astype(Kl.dtype)
+        return (Kl + sn2 * eye_rows)[None]
+
+    addI = shard_map(add_diag, mesh=mesh_, in_specs=(P(axis),),
+                     out_specs=P(axis), check_vma=False)
+    B_bc = addI(K_bc)
+    L = pcholesky(B_bc, mesh_, axis)
+    alpha = psolve_chol(L, r, mesh_, axis)
+    logdet = plogdet_chol(L, mesh_, axis)
+    return L, alpha, logdet
+
+
+def make_dist_nlml_core(mesh_: Mesh, axis: str = "shard"):
+    """Returns nlml_core(K_bc, m, sn2, y) -> nlZ with analytic VJP."""
+
+    @jax.custom_vjp
+    def nlml_core(K_bc, mvec, sn2, y):
+        n = y.shape[0]
+        r = y - mvec
+        L, alpha, logdet = _factor_solve(K_bc, r, sn2, mesh_, axis)
+        return (0.5 * jnp.dot(r, alpha) + 0.5 * logdet
+                + 0.5 * n * jnp.log(2.0 * jnp.pi))
+
+    def fwd(K_bc, mvec, sn2, y):
+        n = y.shape[0]
+        r = y - mvec
+        L, alpha, logdet = _factor_solve(K_bc, r, sn2, mesh_, axis)
+        nlZ = (0.5 * jnp.dot(r, alpha) + 0.5 * logdet
+               + 0.5 * n * jnp.log(2.0 * jnp.pi))
+        return nlZ, (L, alpha, sn2)
+
+    def bwd(res, g):
+        L, alpha, sn2 = res
+        p, m, b, n = L.shape
+        Kinv_bc = pinv_chol(L, mesh_, axis)        # (p, m, b, n) of K̃⁻¹
+
+        def q_local(Ki, al):
+            Ki = Ki[0]
+            d = lax.axis_index(axis)
+            gidx = d + p * jnp.arange(m)
+            rows = jax.vmap(
+                lambda gg: lax.dynamic_slice(al, (gg * b,), (b,)))(gidx)
+            Q = Ki - rows[:, :, None] * al[None, None, :]
+            # trace contribution: diagonal entries of my blocks
+            col = jax.vmap(lambda gg: gg * b + jnp.arange(b))(gidx)
+            dmask = (col[:, :, None] == jnp.arange(n)[None, None, :])
+            tr = lax.psum(jnp.sum(jnp.where(dmask, Q, 0.0)), axis)
+            return Q[None], tr[None]
+
+        qf = shard_map(q_local, mesh=mesh_, in_specs=(P(axis), P()),
+                       out_specs=(P(axis), P()), check_vma=False)
+        Q_bc, trQ = qf(Kinv_bc, alpha)
+        trQ = trQ[0]
+        return (g * 0.5 * Q_bc, -g * alpha, g * 0.5 * trQ, g * alpha)
+
+    nlml_core.defvjp(fwd, bwd)
+    return nlml_core
+
+
+class DistributedExact:
+    """Distributed exact-GPR engine: nlml/posterior over a mesh.
+
+    ``block`` is the Cholesky panel width (MXU-aligned, default 256 on TPU).
+    Inputs are padded to a (block·p) multiple with zero-variance pseudo
+    observations? No — inputs must currently be pre-padded by the caller
+    (models pad transparently via utils; see bench.py).
+    """
+
+    def __init__(self, mesh_: Mesh | None = None, block: int = 256,
+                 axis: str = "shard"):
+        self.mesh = mesh_ if mesh_ is not None else pmesh.make_mesh()
+        self.block = block
+        self.axis = axis
+        self._core = make_dist_nlml_core(self.mesh, axis)
+
+    def nlml(self, mean, kernel, lik, x, y):
+        sn2 = jnp.exp(2.0 * lik.log_sigma)
+        K_bc = gram_bc(kernel, x, self.mesh, self.block, self.axis)
+        mvec = mean(x)
+        return self._core(K_bc, mvec, sn2, y)
+
+    def posterior_parts(self, mean, kernel, lik, x, y):
+        """(L_bc, alpha, sn2): enough to predict (alpha replicated)."""
+        sn2 = jnp.exp(2.0 * lik.log_sigma)
+        K_bc = gram_bc(kernel, x, self.mesh, self.block, self.axis)
+        r = y - mean(x)
+        L, alpha_tilde, _ = _factor_solve(K_bc, r, sn2, self.mesh, self.axis)
+        return L, alpha_tilde, sn2

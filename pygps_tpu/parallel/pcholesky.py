@@ -1,0 +1,195 @@
+"""Distributed blocked Cholesky, triangular solves, and inverse over a mesh.
+
+This is the TPU-native replacement for LAPACK dpotrf/dtrsm in the reference
+(SURVEY.md §2.1): a right-looking blocked Cholesky on a 1-D block-cyclic
+row layout (parallel/mesh.py), communicating exclusively through named-axis
+collectives inside ``shard_map`` (psum for O(b²) panel broadcasts,
+all_gather for the O(n·b) panel column) which XLA lowers onto ICI.
+
+Algorithm per panel k (nb = n/b panels, owner = k mod p):
+  1. psum-broadcast the diagonal block A_kk; every device factors it
+     redundantly (b×b, negligible).
+  2. Each device solves its local panel rows L_ik = A_ik·L_kk⁻ᵀ (batched
+     TRSM on its m local block rows — MXU work, no comms).
+  3. all_gather the panel column P = L[:, kb:kb+b]; the block-cyclic order
+     makes the gathered (p, m, b, b) → (n, b) reorder a pure reshape.
+  4. Trailing update A_i· -= L_ik·Pᵀ as one batched (m,b,b)×(b,n) matmul
+     per device (the hot MXU op), with block-row masks keeping finished
+     panels untouched; the strict upper triangle is zeroed for free as each
+     panel column is written.
+
+Load balance comes from the block-cyclic assignment (every panel's trailing
+work is spread over all devices).  FLOP count is ~n³/(2p) per device
+(full-width updates; the n³/(3p) ideal needs dynamic trailing widths,
+which XLA's static shapes disallow — accepted overhead, revisit with a
+Pallas kernel).
+
+Solves are block forward/backward substitution with psum broadcasts of the
+O(b) pivot vectors; the distributed inverse (for NLML gradients) streams
+panel rows with all_gather.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+
+def _local_gidx(p, m, axis):
+    d = lax.axis_index(axis)
+    return d + p * jnp.arange(m)          # global block index of local rows
+
+
+# ---------------------------------------------------------------------------
+# Cholesky factorization
+# ---------------------------------------------------------------------------
+
+
+def _pchol_local(A, *, p, m, b, n, axis):
+    """Kernel body: A is the local (m, b, n) slab; returns local L slab."""
+    gidx = _local_gidx(p, m, axis)
+    d = lax.axis_index(axis)
+    nb = m * p
+    col_block = jnp.arange(n) // b        # (n,) block index of each column
+
+    def panel(k, A):
+        owner = k % p
+        kloc = k // p
+        cs = k * b
+        # panel columns of all local blocks: (m, b, b)
+        C = lax.dynamic_slice(A, (0, 0, cs), (m, b, b))
+        # 1. diagonal block broadcast
+        Ck = lax.dynamic_index_in_dim(C, kloc, axis=0, keepdims=False)
+        A_kk = lax.psum(jnp.where(d == owner, Ck, jnp.zeros_like(Ck)), axis)
+        L_kk = jnp.linalg.cholesky(A_kk)
+        # 2. local panel TRSM: X L_kkᵀ = C
+        L_pan = lax.linalg.triangular_solve(
+            jnp.broadcast_to(L_kk, (m, b, b)), C,
+            left_side=False, lower=True, transpose_a=True)
+        after = (gidx > k)[:, None, None]
+        is_k = (gidx == k)[:, None, None]
+        P_loc = jnp.where(after, L_pan, 0.0) + jnp.where(is_k, L_kk, 0.0)
+        # write the finished panel column (zeros for blocks < k → upper
+        # triangle is zeroed exactly once, when its column block finishes)
+        A = lax.dynamic_update_slice(A, P_loc, (0, 0, cs))
+        # 3. gather the full panel column (n, b)
+        P_all = lax.all_gather(P_loc, axis)            # (p, m, b, b)
+        P_dense = jnp.swapaxes(P_all, 0, 1).reshape(n, b)
+        # column-side mask: only blocks > k receive updates
+        P_cols = jnp.where((col_block > k)[:, None], P_dense, 0.0)
+        # 4. trailing update
+        L_rows = jnp.where(after, L_pan, 0.0)          # (m, b, b)
+        A = A - jnp.einsum("mrc,nc->mrn", L_rows, P_cols,
+                           preferred_element_type=A.dtype)
+        return A
+
+    return lax.fori_loop(0, nb, panel, A)
+
+
+def pcholesky(A_bc: jax.Array, mesh: Mesh, axis: str = "shard") -> jax.Array:
+    """Factor a bc-layout SPD matrix: returns L (bc layout, lower)."""
+    p, m, b, n = A_bc.shape
+
+    def body(A):
+        return _pchol_local(A[0], p=p, m=m, b=b, n=n, axis=axis)[None]
+
+    f = shard_map(body, mesh=mesh, in_specs=(P(axis),), out_specs=P(axis),
+                  check_vma=False)
+    return f(A_bc)
+
+
+# ---------------------------------------------------------------------------
+# Triangular solves (vector RHS)
+# ---------------------------------------------------------------------------
+
+
+def _solve_fwd_local(L, r, *, p, m, b, n, axis):
+    """z = L⁻¹ r by block forward substitution; returns replicated z."""
+    d = lax.axis_index(axis)
+    nb = m * p
+
+    def step(k, z):
+        owner = k % p
+        kloc = k // p
+        cs = k * b
+        row = lax.dynamic_index_in_dim(L, kloc, axis=0, keepdims=False)  # (b, n)
+        s = row @ z                        # Σ_{j<k} L_kj z_j (z zero at ≥ kb)
+        L_kk = lax.dynamic_slice(row, (0, cs), (b, b))
+        r_k = lax.dynamic_slice(r, (cs,), (b,))
+        z_k = lax.linalg.triangular_solve(
+            L_kk, (r_k - s)[:, None], left_side=True, lower=True)[:, 0]
+        z_k = lax.psum(jnp.where(d == owner, z_k, jnp.zeros_like(z_k)), axis)
+        return lax.dynamic_update_slice(z, z_k, (cs,))
+
+    return lax.fori_loop(0, nb, step, jnp.zeros_like(r))
+
+
+def _solve_bwd_local(L, z, *, p, m, b, n, axis):
+    """x = L⁻ᵀ z by block backward substitution; returns replicated x."""
+    d = lax.axis_index(axis)
+    gidx = _local_gidx(p, m, axis)
+    nb = m * p
+
+    def step(i, x):
+        k = nb - 1 - i
+        owner = k % p
+        kloc = k // p
+        cs = k * b
+        # c = Σ_{j>k} L_jkᵀ x_j : local partials over my block rows
+        C = lax.dynamic_slice(L, (0, 0, cs), (m, b, b))     # L_jk locals
+        # each local block's x segment: (m, b)
+        xseg = jax.vmap(lambda j: lax.dynamic_slice(x, (j * b,), (b,)))(gidx)
+        mask = (gidx > k)[:, None]
+        c_loc = jnp.einsum("mbc,mb->c", C, jnp.where(mask, xseg, 0.0))
+        c = lax.psum(c_loc, axis)
+        row = lax.dynamic_index_in_dim(L, kloc, axis=0, keepdims=False)
+        L_kk = lax.dynamic_slice(row, (0, cs), (b, b))
+        z_k = lax.dynamic_slice(z, (cs,), (b,))
+        x_k = lax.linalg.triangular_solve(
+            L_kk, (z_k - c)[:, None], left_side=True, lower=True,
+            transpose_a=True)[:, 0]
+        x_k = lax.psum(jnp.where(d == owner, x_k, jnp.zeros_like(x_k)), axis)
+        return lax.dynamic_update_slice(x, x_k, (cs,))
+
+    return lax.fori_loop(0, nb, step, jnp.zeros_like(z))
+
+
+def psolve_chol(L_bc: jax.Array, r: jax.Array, mesh: Mesh,
+                axis: str = "shard") -> jax.Array:
+    """(L Lᵀ)⁻¹ r given the bc-layout factor; r and result replicated."""
+    p, m, b, n = L_bc.shape
+
+    def body(L, r_):
+        L = L[0]
+        z = _solve_fwd_local(L, r_, p=p, m=m, b=b, n=n, axis=axis)
+        return _solve_bwd_local(L, z, p=p, m=m, b=b, n=n, axis=axis)
+
+    f = shard_map(body, mesh=mesh, in_specs=(P(axis), P()), out_specs=P(),
+                  check_vma=False)
+    return f(L_bc, r)
+
+
+def plogdet_chol(L_bc: jax.Array, mesh: Mesh, axis: str = "shard") -> jax.Array:
+    """log det(A) = 2 Σ log diag L from the bc-layout factor (replicated)."""
+    p, m, b, n = L_bc.shape
+
+    def body(L):
+        L = L[0]
+        gidx = _local_gidx(p, m, axis)
+
+        def diag_of(j, acc):
+            blk = lax.dynamic_index_in_dim(L, j, axis=0, keepdims=False)
+            Dk = lax.dynamic_slice(blk, (0, gidx[j] * b), (b, b))
+            return acc + jnp.sum(jnp.log(jnp.diag(Dk)))
+
+        acc = lax.fori_loop(0, m, diag_of, jnp.asarray(0.0, L.dtype))
+        return lax.psum(2.0 * acc, axis)[None]
+
+    f = shard_map(body, mesh=mesh, in_specs=(P(axis),), out_specs=P(),
+                  check_vma=False)
+    return f(L_bc)[0]

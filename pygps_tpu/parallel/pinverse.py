@@ -1,0 +1,82 @@
+"""Distributed inverse from a Cholesky factor: B⁻¹ = L⁻ᵀ L⁻¹.
+
+Needed for the analytic NLML gradient (Q = K̃⁻¹ − ααᵀ, reference
+inf.Exact dnlZ assembly, inf.py:~180) in the distributed exact engine.
+
+Layout: L is bc-row-sharded (p, m, b, n).  The identity RHS is column
+sharded the same block-cyclic way (device d owns column blocks ≡ d mod p),
+so each device solves all n rows of its own n/p columns locally, with one
+O(n·b) panel broadcast (psum / all_gather) per panel.  B⁻¹ is symmetric, so
+the column-sharded result transposes block-locally into bc row layout —
+no data movement.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax, shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def pinv_chol(L_bc: jax.Array, mesh: Mesh, axis: str = "shard") -> jax.Array:
+    """B⁻¹ (bc row layout) from the bc-layout factor L of B."""
+    p, m, b, n = L_bc.shape
+    nb = m * p
+    nloc = m * b
+
+    def body(L):
+        L = L[0]
+        d = lax.axis_index(axis)
+        gidx = d + p * jnp.arange(m)           # my block indices
+        # my columns' global positions, as an (nloc,) index map block-wise
+        # identity RHS for my columns: I[:, mycols] — rows r where r == col
+        mycols = (gidx[:, None] * b + jnp.arange(b)[None, :]).reshape(nloc)
+        I_cols = (jnp.arange(n)[:, None] == mycols[None, :]).astype(L.dtype)
+
+        # ---- forward: Z = L⁻¹ I_cols  (Z: (n, nloc), all rows local) ----
+        def fwd(k, Z):
+            owner = k % p
+            kloc = k // p
+            cs = k * b
+            row = lax.dynamic_index_in_dim(L, kloc, axis=0, keepdims=False)
+            row = lax.psum(jnp.where(d == owner, row, jnp.zeros_like(row)),
+                           axis)                       # (b, n) L block row k
+            S = row @ Z                                # Σ_{j<k} L_kj Z_j
+            L_kk = lax.dynamic_slice(row, (cs * 0, cs), (b, b))
+            I_k = lax.dynamic_slice(I_cols, (cs, cs * 0), (b, nloc))
+            Z_k = lax.linalg.triangular_solve(
+                L_kk, I_k - S, left_side=True, lower=True)
+            return lax.dynamic_update_slice(Z, Z_k, (cs, cs * 0))
+
+        Z = lax.fori_loop(0, nb, fwd, jnp.zeros((n, nloc), L.dtype))
+
+        # ---- backward: X = L⁻ᵀ Z ----
+        row_block = jnp.arange(n) // b
+
+        def bwd(i, X):
+            k = nb - 1 - i
+            cs = k * b
+            # full panel column L[:, cs:cs+b]: gather local contributions
+            C = lax.dynamic_slice(L, (cs * 0, cs * 0, cs), (m, b, b))   # (m, b, b)
+            C_all = lax.all_gather(C, axis)                   # (p, m, b, b)
+            col = jnp.swapaxes(C_all, 0, 1).reshape(n, b)
+            L_kk = lax.dynamic_slice(col, (cs, cs * 0), (b, b))
+            # strict sub-panel only (rows > block k) for the coupling term
+            col_strict = jnp.where((row_block > k)[:, None], col, 0.0)
+            S = col_strict.T @ X                              # (b, nloc)
+            Z_k = lax.dynamic_slice(Z, (cs, cs * 0), (b, nloc))
+            X_k = lax.linalg.triangular_solve(
+                L_kk, Z_k - S, left_side=True, lower=True, transpose_a=True)
+            return lax.dynamic_update_slice(X, X_k, (cs, cs * 0))
+
+        X = lax.fori_loop(0, nb, bwd, jnp.zeros((n, nloc), L.dtype))
+        # X[:, mycols] = B⁻¹[:, mycols]; symmetry → my row blocks are the
+        # block-transposes of my column slabs
+        Xb = X.reshape(n, m, b)                 # columns grouped by my blocks
+        rows = jnp.transpose(Xb, (1, 2, 0))     # (m, b, n) = my bc row slab
+        return rows[None]
+
+    f = shard_map(body, mesh=mesh, in_specs=(P(axis),), out_specs=P(axis),
+                  check_vma=False)
+    return f(L_bc)

@@ -1,0 +1,133 @@
+"""Distributed linalg + engine tests on the 8-device virtual CPU mesh.
+
+The reference has no distributed tests (nothing distributed exists —
+SURVEY.md §4); these validate the TPU-native layer: block-cyclic Cholesky,
+solves, logdet, inverse, ring/bc Gram, and the distributed exact engine's
+NLML + analytic-VJP gradients against the dense single-device engine.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import pygps_tpu as pg
+from pygps_tpu.inference import exact as dense_exact
+from pygps_tpu.parallel import mesh as pmesh
+from pygps_tpu.parallel.exact import DistributedExact
+from pygps_tpu.parallel.pcholesky import pcholesky, plogdet_chol, psolve_chol
+from pygps_tpu.parallel.pinverse import pinv_chol
+from pygps_tpu.parallel.ring_gram import gram_bc, ring_gram
+
+N, B, PDEV = 64, 4, 8
+
+
+@pytest.fixture(scope="module")
+def msh():
+    assert len(jax.devices()) >= PDEV
+    return pmesh.make_mesh(PDEV)
+
+
+@pytest.fixture(scope="module")
+def spd():
+    rng = np.random.default_rng(0)
+    W = rng.standard_normal((N, N))
+    return W @ W.T + N * np.eye(N)
+
+
+def test_block_cyclic_roundtrip(spd):
+    A = jnp.asarray(spd)
+    Abc = pmesh.to_block_cyclic(A, B, PDEV)
+    assert Abc.shape == (PDEV, N // (B * PDEV), B, N)
+    assert np.allclose(np.asarray(pmesh.from_block_cyclic(Abc)),
+                       np.asarray(A))
+
+
+def test_pcholesky_solve_logdet_inverse(msh, spd):
+    A = jnp.asarray(spd)
+    Abc = pmesh.shard_bc(pmesh.to_block_cyclic(A, B, PDEV), msh)
+    L = pcholesky(Abc, msh)
+    Lref = np.linalg.cholesky(spd)
+    assert np.allclose(np.asarray(pmesh.from_block_cyclic(L)), Lref,
+                       atol=1e-10)
+    r = np.random.default_rng(1).standard_normal(N)
+    x = psolve_chol(L, jnp.asarray(r), msh)
+    assert np.allclose(np.asarray(x), np.linalg.solve(spd, r), atol=1e-10)
+    ld = plogdet_chol(L, msh)
+    assert np.isclose(float(ld), np.linalg.slogdet(spd)[1], atol=1e-9)
+    Ainv = pinv_chol(L, msh)
+    assert np.allclose(np.asarray(pmesh.from_block_cyclic(Ainv)),
+                       np.linalg.inv(spd), atol=1e-10)
+
+
+def test_gram_constructions_match_dense(msh):
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((N, 3)))
+    k = pg.cov.Matern(0.2, 0.1, d=5)
+    Kref = np.asarray(k.Ktrain(x))
+    Kbc = gram_bc(k, x, msh, B)
+    assert np.allclose(np.asarray(pmesh.from_block_cyclic(Kbc)), Kref,
+                       atol=1e-12)
+    xs = jax.device_put(x, NamedSharding(msh, P("shard")))
+    Kr = ring_gram(k, xs, msh)
+    assert np.allclose(np.asarray(Kr), np.asarray(k.K(x, x)), atol=1e-12)
+
+
+def test_distributed_nlml_matches_dense(msh):
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((N, 2)))
+    y = jnp.asarray(np.sin(np.asarray(x)[:, 0]) +
+                    0.1 * rng.standard_normal(N))
+    mean, kern, lik = pg.mean.Zero(), pg.cov.RBF(0.3, 0.2), pg.lik.Gauss(-1.0)
+    eng = DistributedExact(msh, block=B)
+    nl_d = float(eng.nlml(mean, kern, lik, x, y))
+    nl_ref = float(dense_exact.nlml(mean, kern, lik, x, y))
+    assert np.isclose(nl_d, nl_ref, rtol=1e-10)
+
+
+def test_distributed_grads_match_dense(msh):
+    from jax.flatten_util import ravel_pytree
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((N, 2)))
+    y = jnp.asarray(np.sin(np.asarray(x)[:, 0]) +
+                    0.1 * rng.standard_normal(N))
+    mean = pg.mean.Const(0.1)
+    kern = pg.cov.RBF(0.2, 0.1) + pg.cov.Linear(-0.5)
+    lik = pg.lik.Gauss(-0.8)
+    theta, unravel = ravel_pytree((mean, kern, lik))
+    eng = DistributedExact(msh, block=B)
+
+    def f_dist(t):
+        m, k, l = unravel(t)
+        return eng.nlml(m, k, l, x, y)
+
+    def f_dense(t):
+        m, k, l = unravel(t)
+        return dense_exact.nlml(m, k, l, x, y)
+
+    gd = jax.grad(f_dist)(theta)
+    gr = jax.grad(f_dense)(theta)
+    assert np.allclose(np.asarray(gd), np.asarray(gr), rtol=1e-8, atol=1e-10)
+
+
+def test_distributed_posterior_predict(msh):
+    """Distributed posterior parts reproduce dense predictive mean."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(np.linspace(-3, 3, N)[:, None])
+    y = jnp.asarray(np.sin(np.asarray(x)[:, 0]) +
+                    0.1 * rng.standard_normal(N))
+    mean, kern, lik = pg.mean.Zero(), pg.cov.RBF(0.0, 0.0), pg.lik.Gauss(-1.0)
+    eng = DistributedExact(msh, block=B)
+    L, alpha, sn2 = eng.posterior_parts(mean, kern, lik, x, y)
+    xs = jnp.linspace(-3, 3, 11)[:, None]
+    fmu_dist = kern.K(x, xs).T @ alpha
+
+    m_ref = pg.GPR()
+    m_ref.setPrior(kernel=pg.cov.RBF(0.0, 0.0))
+    m_ref.setNoise(-1.0)
+    m_ref.setData(x, y)
+    _, _, fm_ref, _, _ = m_ref.predict(xs)
+    assert np.allclose(np.asarray(fmu_dist), fm_ref[:, 0], atol=1e-8)
