@@ -1,0 +1,97 @@
+"""Benchmark: exact-GP NLML + full hyperparameter gradient throughput.
+
+Headline metric of BASELINE.md ("NLML+grad evaluations/s, TPU v5e 1 chip").
+Baseline = the reference's computational recipe (pyGPs inf.Exact: dense
+numpy float64 Gram + Cholesky + explicit Q = K̃⁻¹ − ααᵀ + per-hyp trace
+products, SURVEY.md §2.4) measured live on this host's CPU — the reference
+publishes no numbers of its own (BASELINE.json "published": {}).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "evals/s", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+N, D = 2048, 8
+N_HYP = 3  # log_ell, log_sf, log_sn
+
+
+def _data():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((N, D))
+    y = np.sin(x[:, 0]) + 0.1 * rng.standard_normal(N)
+    return x, y
+
+
+def baseline_numpy_eval(x, y, log_ell=0.0, log_sf=0.0, log_sn=-1.0):
+    """One NLML+grad evaluation the reference's way (numpy f64, explicit
+    derivative matrices and trace products)."""
+    n = len(y)
+    ell, sf2, sn2 = np.exp(log_ell), np.exp(2 * log_sf), np.exp(2 * log_sn)
+    xn = (x * x).sum(1)
+    d2 = np.maximum(xn[:, None] + xn[None, :] - 2.0 * (x @ x.T), 0.0)
+    K = sf2 * np.exp(-0.5 * d2 / ell**2)
+    Kt = K + sn2 * np.eye(n)
+    L = np.linalg.cholesky(Kt)
+    a = np.linalg.solve(Kt, y)
+    nlZ = 0.5 * y @ a + np.log(np.diag(L)).sum() + 0.5 * n * np.log(2 * np.pi)
+    Kinv = np.linalg.inv(Kt)
+    Q = Kinv - np.outer(a, a)
+    dK_ell = K * (d2 / ell**2)
+    g = (0.5 * (Q * dK_ell).sum(),          # d/dlog_ell
+         (Q * K).sum(),                     # d/dlog_sf (dK = 2K)
+         sn2 * np.trace(Q))                 # d/dlog_sn
+    return nlZ, g
+
+
+def run():
+    import jax
+    import jax.numpy as jnp
+
+    import pygps_tpu as pg
+    from pygps_tpu.inference import exact
+
+    x_np, y_np = _data()
+
+    # ---- baseline (reference recipe, numpy f64 on CPU) ----
+    t0 = time.perf_counter()
+    baseline_numpy_eval(x_np, y_np)
+    t_base = time.perf_counter() - t0
+    base_eps = 1.0 / t_base
+
+    # ---- ours (jitted value_and_grad on the default device) ----
+    dtype = jnp.float32
+    x = jnp.asarray(x_np, dtype=dtype)
+    y = jnp.asarray(y_np, dtype=dtype)
+    prior = (pg.mean.Zero(), pg.cov.RBF(0.0, 0.0), pg.lik.Gauss(-1.0))
+
+    @jax.jit
+    def step(prior):
+        return jax.value_and_grad(
+            lambda pr: exact.nlml(pr[0], pr[1], pr[2], x, y))(prior)
+
+    v, g = step(prior)          # compile
+    jax.block_until_ready((v, g))
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        v, g = step(prior)
+    jax.block_until_ready((v, g))
+    t_ours = (time.perf_counter() - t0) / reps
+    ours_eps = 1.0 / t_ours
+
+    print(json.dumps({
+        "metric": f"exact_gp_nlml_grad_evals_per_s_n{N}_d{D}",
+        "value": round(ours_eps, 3),
+        "unit": "evals/s",
+        "vs_baseline": round(ours_eps / base_eps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    run()

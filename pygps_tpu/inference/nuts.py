@@ -1,0 +1,240 @@
+"""No-U-Turn Sampler, iterative and jit-native.
+
+North-star sampler (BASELINE.json configs[4]): NUTS over GP log-marginal
+likelihood hyperparameters, 256 chains vmapped per chip and sharded across
+the mesh, dual-averaging step size synchronized by psum.
+
+Recursion-free formulation (SURVEY.md §7.3 hard part 4): the doubling tree
+is built with a ``lax.while_loop`` over depths and an inner while over the
+2^depth leapfrog steps; sub-tree U-turn conditions are checked with a
+binary-counter trick — the state at leaf l is stored in stack slot s
+whenever 2^s | l, and a size-2^s subtree completing at leaf i checks
+against slot s (the slot cannot have been overwritten before the block
+completes, since the next multiple of 2^s past its start is i+1).
+Multinomial (weight-proportional) progressive sampling within subtrees,
+biased acceptance across the doubling merge, masked divergences — all
+fixed-shape, fully vmappable.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pygps_tpu.inference.hmc import (dual_averaging_init,
+                                     dual_averaging_update, welford_init,
+                                     welford_update, welford_var)
+
+_DIVERGENCE = 1000.0
+
+
+class _TreeState(NamedTuple):
+    q_minus: jax.Array
+    p_minus: jax.Array
+    q_plus: jax.Array
+    p_plus: jax.Array
+    q_prop: jax.Array        # current multinomial proposal
+    log_w: jax.Array         # logsumexp of leaf weights in the tree
+    sum_accept: jax.Array    # Σ min(1, e^{H0−H}) over leaves
+    n_leaf: jax.Array
+    turning: jax.Array
+    diverged: jax.Array
+    depth: jax.Array
+    key: jax.Array
+
+
+def _uturn(dq, p_a, p_b, inv_mass):
+    a = jnp.dot(dq, inv_mass * p_a) < 0.0
+    b = jnp.dot(dq, inv_mass * p_b) < 0.0
+    return jnp.logical_or(a, b)
+
+
+def _leapfrog1(q, p, g, eps, inv_mass, grad_fn):
+    p = p - 0.5 * eps * g
+    q = q + eps * inv_mass * p
+    g = grad_fn(q)
+    p = p - 0.5 * eps * g
+    return q, p, g
+
+
+def nuts_kernel(logp_fn, q0, key, eps, inv_mass, max_depth=8):
+    """One NUTS transition for a single chain.
+
+    Returns (q_new, accept_stat, diverged, depth_reached)."""
+    neg_logp = lambda qq: -logp_fn(qq)
+    grad_fn = jax.grad(neg_logp)
+    dim = q0.shape[0]
+    dtype = q0.dtype
+
+    k_mom, k_tree = jax.random.split(key)
+    p0 = jax.random.normal(k_mom, (dim,), dtype) / jnp.sqrt(inv_mass)
+    H0 = neg_logp(q0) + 0.5 * jnp.sum(inv_mass * p0 * p0)
+
+    init = _TreeState(
+        q_minus=q0, p_minus=p0, q_plus=q0, p_plus=p0, q_prop=q0,
+        log_w=jnp.zeros((), dtype), sum_accept=jnp.ones((), dtype),
+        n_leaf=jnp.ones((), jnp.int32),
+        turning=jnp.zeros((), bool), diverged=jnp.zeros((), bool),
+        depth=jnp.zeros((), jnp.int32), key=k_tree,
+    )
+
+    def expand(ts: _TreeState) -> _TreeState:
+        """One doubling: 2^depth leapfrog steps in a random direction,
+        building a subtree with internal U-turn checks, then merge."""
+        key, k_dir, k_merge = jax.random.split(ts.key, 3)
+        go_right = jax.random.bernoulli(k_dir)
+        eps_d = jnp.where(go_right, eps, -eps)
+        q_edge = jnp.where(go_right, ts.q_plus, ts.q_minus)
+        p_edge = jnp.where(go_right, ts.p_plus, ts.p_minus)
+        n_steps = jnp.int32(1) << ts.depth
+
+        stack_q = jnp.zeros((max_depth + 1, dim), dtype)
+        stack_p = jnp.zeros((max_depth + 1, dim), dtype)
+
+        class _Sub(NamedTuple):
+            i: jax.Array
+            q: jax.Array
+            p: jax.Array
+            g: jax.Array
+            q_prop: jax.Array
+            log_w: jax.Array
+            sum_accept: jax.Array
+            turning: jax.Array
+            diverged: jax.Array
+            stack_q: jax.Array
+            stack_p: jax.Array
+            key: jax.Array
+
+        g_edge = grad_fn(q_edge)
+        sub0 = _Sub(
+            i=jnp.zeros((), jnp.int32), q=q_edge, p=p_edge, g=g_edge,
+            q_prop=q_edge, log_w=jnp.asarray(-jnp.inf, dtype),
+            sum_accept=jnp.zeros((), dtype),
+            turning=jnp.zeros((), bool), diverged=jnp.zeros((), bool),
+            stack_q=stack_q, stack_p=stack_p, key=key,
+        )
+
+        def sub_cond(s: _Sub):
+            return ((s.i < n_steps) & ~s.turning & ~s.diverged)
+
+        def sub_body(s: _Sub) -> _Sub:
+            q, p, g = _leapfrog1(s.q, s.p, s.g, eps_d, inv_mass, grad_fn)
+            H = neg_logp(q) + 0.5 * jnp.sum(inv_mass * p * p)
+            dH = H - H0
+            diverged = ~jnp.isfinite(dH) | (dH > _DIVERGENCE)
+            w = jnp.where(diverged, -jnp.inf, -dH)
+            accept = jnp.where(diverged, 0.0,
+                               jnp.minimum(1.0, jnp.exp(-dH)))
+            # progressive multinomial proposal within the subtree
+            log_w_new = jnp.logaddexp(s.log_w, w)
+            key, k_sel = jax.random.split(s.key)
+            take = (jnp.log(jax.random.uniform(k_sel, dtype=dtype))
+                    < (w - log_w_new))
+            q_prop = jnp.where(take, q, s.q_prop)
+
+            i = s.i   # 0-based leaf index within this subtree
+            # store (q, p) at slots s where 2^s | i
+            slots = jnp.arange(max_depth + 1)
+            store = (i % (jnp.int32(1) << slots)) == 0
+            stack_q = jnp.where(store[:, None], q[None, :], s.stack_q)
+            stack_p = jnp.where(store[:, None], p[None, :], s.stack_p)
+            # blocks of size 2^s completing at leaf i: (i+1) % 2^s == 0
+            complete = (((i + 1) % (jnp.int32(1) << slots)) == 0) & (slots >= 1)
+
+            def check(sl, turning):
+                dq = (q - stack_q[sl]) * jnp.where(go_right, 1.0, -1.0)
+                t = _uturn(dq, stack_p[sl], p, inv_mass)
+                return turning | (complete[sl] & t)
+
+            turning = lax.fori_loop(0, max_depth + 1, check,
+                                    jnp.zeros((), bool))
+            return _Sub(i=i + 1, q=q, p=p, g=g, q_prop=q_prop,
+                        log_w=log_w_new,
+                        sum_accept=s.sum_accept + accept,
+                        turning=s.turning | turning,
+                        diverged=s.diverged | diverged,
+                        stack_q=stack_q, stack_p=stack_p, key=key)
+
+        sub = lax.while_loop(sub_cond, sub_body, sub0)
+
+        bad = sub.turning | sub.diverged
+        # merge (biased acceptance toward the new subtree)
+        p_take_new = jnp.exp(jnp.minimum(0.0, sub.log_w - ts.log_w))
+        take_new = (jax.random.uniform(k_merge, dtype=dtype) < p_take_new) & ~bad
+        q_prop = jnp.where(take_new, sub.q_prop, ts.q_prop)
+        log_w = jnp.where(bad, ts.log_w, jnp.logaddexp(ts.log_w, sub.log_w))
+
+        q_minus = jnp.where(go_right, ts.q_minus, sub.q)
+        p_minus = jnp.where(go_right, ts.p_minus, sub.p)
+        q_plus = jnp.where(go_right, sub.q, ts.q_plus)
+        p_plus = jnp.where(go_right, sub.p, ts.p_plus)
+        # global U-turn across the merged trajectory
+        turning_global = _uturn(q_plus - q_minus, p_minus, p_plus, inv_mass)
+
+        return _TreeState(
+            q_minus=q_minus, p_minus=p_minus, q_plus=q_plus, p_plus=p_plus,
+            q_prop=q_prop, log_w=log_w,
+            sum_accept=ts.sum_accept + sub.sum_accept,
+            n_leaf=ts.n_leaf + sub.i,
+            turning=ts.turning | sub.turning | (turning_global & ~bad),
+            diverged=ts.diverged | sub.diverged,
+            depth=ts.depth + 1, key=key,
+        )
+
+    def cond(ts: _TreeState):
+        return (~ts.turning & ~ts.diverged & (ts.depth < max_depth))
+
+    ts = lax.while_loop(cond, expand, init)
+    accept_stat = ts.sum_accept / ts.n_leaf.astype(dtype)
+    return ts.q_prop, accept_stat, ts.diverged, ts.depth
+
+
+def sample_nuts(logp_fn, q0, key, num_warmup=300, num_samples=300,
+                max_depth=8, eps0=0.1, target_accept=0.8,
+                cross_chain_mean=None):
+    """Adaptive NUTS for a batch of chains (q0: (C, dim)).
+
+    Warmup adapts step size (dual averaging on the cross-chain mean accept
+    statistic — pass a psum-mean via ``cross_chain_mean`` when chains are
+    sharded) and a diagonal mass matrix (Welford over all chains).
+    Returns (samples (T, C, dim), stats dict).
+    """
+    C, dim = q0.shape
+    ccm = cross_chain_mean or (lambda x: jnp.mean(x))
+    kern = jax.vmap(nuts_kernel, in_axes=(None, 0, 0, None, None, None))
+
+    def warm_step(carry, key_t):
+        q, da, wf = carry
+        keys = jax.random.split(key_t, C)
+        eps = jnp.exp(da.log_eps)
+        q, ap, div, depth = kern(logp_fn, q, keys, eps, welford_var(wf),
+                                 max_depth)
+        da = dual_averaging_update(da, ccm(ap), target=target_accept)
+
+        def upd(wf, qs):
+            return lax.fori_loop(0, C, lambda i, s: welford_update(s, qs[i]),
+                                 wf)
+
+        wf = upd(wf, q)
+        return (q, da, wf), ap
+
+    def draw_step(carry, key_t):
+        q, eps, inv_mass = carry
+        keys = jax.random.split(key_t, C)
+        q, ap, div, depth = kern(logp_fn, q, keys, eps, inv_mass, max_depth)
+        return (q, eps, inv_mass), (q, ap, div)
+
+    k_warm, k_draw = jax.random.split(key)
+    da = dual_averaging_init(jnp.asarray(eps0, q0.dtype))
+    wf = welford_init(dim, q0.dtype)
+    (q, da, wf), _ = lax.scan(warm_step, (q0, da, wf),
+                              jax.random.split(k_warm, num_warmup))
+    eps = jnp.exp(da.log_eps_bar)
+    inv_mass = welford_var(wf)
+    _, (samples, accept, div) = lax.scan(
+        draw_step, (q, eps, inv_mass), jax.random.split(k_draw, num_samples))
+    return samples, {"accept_prob": accept, "divergences": div,
+                     "step_size": eps, "inv_mass": inv_mass}

@@ -211,6 +211,52 @@ class GP:
         self.lp = None if lp is None else np.asarray(lp)[:, None]
         return self.ym, self.ys2, self.fm, self.fs2, self.lp
 
+    # -- sampling (north-star extension; no reference counterpart) ---------
+    def sample(self, num_samples=200, num_warmup=200, num_chains=8,
+               sampler="nuts", seed=0, mesh=None, hyperprior_std=3.0,
+               **kwargs):
+        """Sample hyperparameters from p(θ|y) ∝ exp(−NLML(θ))·N(θ|0,σ²I)
+        with NUTS (default) or HMC; chains vmapped, or sharded over a mesh
+        when one is given (psum-synchronized dual averaging).
+
+        Returns (samples (T, C, n_hyp), stats).  The weak Gaussian
+        hyperprior keeps the posterior proper (the reference's optimizer has
+        no prior; the flat-prior limit is hyperprior_std → ∞)."""
+        import jax.flatten_util as fu
+
+        from pygps_tpu.inference import hmc as _hmc
+        from pygps_tpu.inference import nuts as _nuts
+
+        if self.x is None:
+            raise ValueError("no data: call setData first")
+        theta0, unravel = fu.ravel_pytree(
+            (self.meanfunc, self.covfunc, self.likfunc))
+        nlml_fn = self._inference_nlml()
+        extra = self._inference_extra()
+        x, y = self.x, self.y
+        inv_var = 1.0 / (hyperprior_std ** 2)
+
+        def logp(t):
+            m, k, l = unravel(t)
+            return (-nlml_fn(m, k, l, x, y, **extra)
+                    - 0.5 * inv_var * jnp.sum(t * t))
+
+        key = jax.random.PRNGKey(seed)
+        k_init, k_run = jax.random.split(key)
+        q0 = theta0[None, :] + 0.1 * jax.random.normal(
+            k_init, (num_chains, theta0.shape[0]), theta0.dtype)
+        if mesh is not None:
+            from pygps_tpu.parallel.sampling import sample_nuts_sharded
+
+            return sample_nuts_sharded(
+                logp, q0, k_run, mesh, sampler=sampler,
+                num_warmup=num_warmup, num_samples=num_samples, **kwargs)
+        fn = _nuts.sample_nuts if sampler == "nuts" else _hmc.sample_hmc
+        run = jax.jit(lambda q0, k: fn(
+            logp, q0, k, num_warmup=num_warmup, num_samples=num_samples,
+            **kwargs))
+        return run(q0, k_run)
+
     # -- plotting ----------------------------------------------------------
     def plot(self, *args, **kwargs):  # pragma: no cover - visual
         raise NotImplementedError("plot() is model-specific")

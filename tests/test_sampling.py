@@ -1,0 +1,82 @@
+"""NUTS/HMC sampler tests: exactness on Gaussian targets, GP integration,
+chain sharding over the virtual mesh, diagnostics."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import pygps_tpu as pg
+from pygps_tpu.inference import hmc as _hmc
+from pygps_tpu.inference import nuts as _nuts
+from pygps_tpu.inference.diagnostics import ess, split_rhat
+from pygps_tpu.parallel import mesh as pmesh
+
+DIM = 3
+COV_DIAG = np.array([0.5, 1.0, 2.0])
+
+
+def _gauss_logp(q):
+    return -0.5 * jnp.sum(q * q / jnp.asarray(COV_DIAG))
+
+
+@pytest.mark.parametrize("sampler,fn", [
+    ("nuts", _nuts.sample_nuts), ("hmc", _hmc.sample_hmc)])
+def test_gaussian_target_moments(sampler, fn):
+    key = jax.random.PRNGKey(0)
+    C = 8
+    q0 = jax.random.normal(jax.random.PRNGKey(1), (C, DIM))
+    samples, stats = jax.jit(lambda q, k: fn(
+        _gauss_logp, q, k, num_warmup=400, num_samples=500))(q0, key)
+    s = np.asarray(samples).reshape(-1, DIM)
+    assert np.all(np.isfinite(s))
+    assert np.allclose(s.mean(0), 0.0, atol=0.15)
+    assert np.allclose(s.var(0), COV_DIAG, rtol=0.25)
+    # healthy adaptation
+    assert 0.5 < float(np.asarray(stats["accept_prob"]).mean()) <= 1.0
+
+
+def test_nuts_diagnostics_on_gaussian():
+    key = jax.random.PRNGKey(2)
+    q0 = jax.random.normal(jax.random.PRNGKey(3), (4, DIM))
+    samples, _ = jax.jit(lambda q, k: _nuts.sample_nuts(
+        _gauss_logp, q, k, num_warmup=300, num_samples=400))(q0, key)
+    rhat = np.asarray(split_rhat(samples))
+    assert np.all(rhat < 1.1)
+    e = np.asarray(ess(samples))
+    T, C, _ = samples.shape
+    assert np.all(e > 0.05 * T * C)      # NUTS on a Gaussian mixes well
+    assert np.all(e <= 1.5 * T * C)
+
+
+def test_nuts_over_gp_hyperparameters():
+    rng = np.random.default_rng(0)
+    x = np.linspace(-3, 3, 25)[:, None]
+    y = np.sin(x[:, 0]) + 0.1 * rng.standard_normal(25)
+    m = pg.GPR()
+    m.setData(x, y)
+    samples, stats = m.sample(num_samples=100, num_warmup=150, num_chains=4,
+                              seed=0)
+    s = np.asarray(samples)
+    assert s.shape == (100, 4, 3)
+    assert np.all(np.isfinite(s))
+    # posterior over log-noise should concentrate below 0 (true noise 0.1)
+    assert np.median(s[:, :, 2]) < 0.0
+
+
+def test_sharded_chains_match_structure():
+    msh = pmesh.make_mesh(8)
+    from pygps_tpu.parallel.sampling import sample_nuts_sharded
+
+    key = jax.random.PRNGKey(4)
+    C = 16
+    q0 = jax.random.normal(jax.random.PRNGKey(5), (C, DIM))
+    samples, stats = sample_nuts_sharded(
+        _gauss_logp, q0, key, msh, num_warmup=200, num_samples=200)
+    s = np.asarray(samples)
+    assert s.shape == (200, C, DIM)
+    assert np.all(np.isfinite(s))
+    assert np.allclose(s.reshape(-1, DIM).var(0), COV_DIAG, rtol=0.35)
+    rhat = np.asarray(split_rhat(jnp.asarray(s)))
+    assert np.all(rhat < 1.15)

@@ -1,0 +1,112 @@
+"""SVGP (whitened VI) and tempered-SMC tests."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import pygps_tpu as pg
+from pygps_tpu.inference import smc, svgp
+from pygps_tpu.inference import exact as dense_exact
+
+
+def _toy(n=60, seed=0):
+    rng = np.random.default_rng(seed)
+    x = np.sort(rng.uniform(-3, 3, n))[:, None]
+    y = np.sin(x[:, 0]) + 0.2 * rng.standard_normal(n)
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+def test_svgp_elbo_lower_bounds_exact_evidence():
+    """With q at optimum and all-inducing, ELBO ≤ log Z and close to it;
+    at minimum: ELBO after training must lower-bound −nlZ_exact."""
+    x, y = _toy()
+    mean, kern, lik = pg.mean.Zero(), pg.cov.RBF(0.0, 0.0), pg.lik.Gauss(-1.0)
+    params = svgp.init_params(mean, kern, lik, z0=x[::2])
+    e0 = float(svgp.elbo(params, x, y))
+    params, hist = svgp.fit(params, x, y, num_steps=400, lr=0.02)
+    e1 = float(svgp.elbo(params, x, y))
+    assert e1 > e0                       # training improves the bound
+    nlZ = float(dense_exact.nlml(*params.prior, x, y))
+    assert e1 <= -nlZ + 1e-3             # valid lower bound on evidence
+
+
+def test_svgp_predictions_reasonable():
+    x, y = _toy(seed=1)
+    mean, kern, lik = pg.mean.Zero(), pg.cov.RBF(0.0, 0.0), pg.lik.Gauss(-1.0)
+    params = svgp.init_params(mean, kern, lik, z0=x[::3])
+    params, _ = svgp.fit(params, x, y, num_steps=600, lr=0.02)
+    lp, ymu, ys2, fmu, fs2 = svgp.predict(params, x, ys=y)
+    rmse = float(np.sqrt(np.mean((np.asarray(ymu) - np.asarray(y)) ** 2)))
+    assert rmse < 0.35
+    assert np.all(np.asarray(fs2) >= 0)
+    assert np.all(np.isfinite(np.asarray(lp)))
+
+
+def test_svgp_classification():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((50, 2))
+    y = jnp.asarray(np.sign(x[:, 0] + 0.3 * rng.standard_normal(50)))
+    x = jnp.asarray(x)
+    mean, kern, lik = pg.mean.Zero(), pg.cov.RBF(0.0, 0.5), pg.lik.Erf()
+    params = svgp.init_params(mean, kern, lik, z0=x[::4])
+    params, _ = svgp.fit(params, x, y, num_steps=500, lr=0.05)
+    _, ymu, _, _, _ = svgp.predict(params, x)
+    acc = float(np.mean(np.sign(np.asarray(ymu)) == np.asarray(y)))
+    assert acc > 0.8
+
+
+def test_smc_gaussian_target_and_evidence():
+    """Prior N(0, 2²I), likelihood N(θ|1, 1) per dim: posterior and log
+    evidence are known in closed form."""
+    dim, Pn = 2, 512
+    prior_var, lik_var, y0 = 4.0, 1.0, 1.0
+
+    def log_prior(t):
+        return -0.5 * jnp.sum(t * t) / prior_var - 0.5 * dim * jnp.log(
+            2 * jnp.pi * prior_var)
+
+    def log_lik(t):
+        return -0.5 * jnp.sum((t - y0) ** 2) / lik_var - 0.5 * dim * jnp.log(
+            2 * jnp.pi * lik_var)
+
+    key = jax.random.PRNGKey(0)
+    q0 = jax.random.normal(key, (Pn, dim)) * np.sqrt(prior_var)
+    parts, logZ, stats = jax.jit(
+        lambda q, k: smc.sample_smc(log_prior, log_lik, q, k,
+                                    num_stages=15, eps=0.3))(
+        q0, jax.random.PRNGKey(1))
+    post_var = 1.0 / (1 / prior_var + 1 / lik_var)
+    post_mean = post_var * (y0 / lik_var)
+    s = np.asarray(parts)
+    assert np.allclose(s.mean(0), post_mean, atol=0.15)
+    assert np.allclose(s.var(0), post_var, rtol=0.4)
+    # evidence: ∫ N(θ|0,4)N(1|θ,1) dθ = N(1|0,5) per dim
+    logZ_true = dim * (-0.5 * np.log(2 * np.pi * 5.0) - 0.5 * 1.0 / 5.0)
+    assert abs(float(logZ) - logZ_true) < 0.25
+
+
+def test_smc_over_gp_hyperparameters():
+    from jax.flatten_util import ravel_pytree
+
+    x, y = _toy(n=25, seed=3)
+    mean, kern, lik = pg.mean.Zero(), pg.cov.RBF(0.0, 0.0), pg.lik.Gauss(-1.0)
+    theta0, unravel = ravel_pytree((mean, kern, lik))
+    dim = theta0.shape[0]
+
+    def log_prior(t):
+        return -0.5 * jnp.sum(t * t) / 9.0
+
+    def log_lik(t):
+        m, k, l = unravel(t)
+        return -dense_exact.nlml(m, k, l, x, y)
+
+    q0 = jax.random.normal(jax.random.PRNGKey(2), (128, dim)) * 1.0
+    parts, logZ, _ = smc.sample_smc(log_prior, log_lik, q0,
+                                    jax.random.PRNGKey(3),
+                                    num_stages=10, eps=0.1)
+    s = np.asarray(parts)
+    assert np.all(np.isfinite(s))
+    assert np.isfinite(float(logZ))
+    # particles should have concentrated relative to the prior
+    assert s.std(0).max() < 2.0
