@@ -50,7 +50,20 @@ def baseline_numpy_eval(x, y, log_ell=0.0, log_sf=0.0, log_sn=-1.0):
 
 
 def run():
+    import os
+
     import jax
+
+    # persistent compilation cache: tunnel compiles are slow (up to several
+    # minutes) and highly variable; cache makes repeat bench runs ~instant
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     import pygps_tpu as pg

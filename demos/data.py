@@ -1,0 +1,88 @@
+"""Demo datasets.
+
+The reference ships regression_data.npz (1-D), classification_data.npz
+(2-D two-cluster), USPS 3-vs-5 digits and MUTAG graphs
+(pyGPs/Demo/data_for_demo, SURVEY.md §2.3).  The mount was empty (no data
+files available offline), so statistically equivalent synthetic stand-ins
+are generated with fixed seeds; once the reference mount is populated the
+loaders here can be pointed at the original .npz files to capture verbatim
+parity fixtures (BASELINE.md note).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def regression_1d(n=40, seed=0):
+    """1-D noisy smooth function (stand-in for regression_data.npz)."""
+    rng = np.random.default_rng(seed)
+    x = np.sort(rng.uniform(-3.0, 3.0, n))[:, None]
+    y = (np.sin(2.0 * x[:, 0]) + 0.5 * x[:, 0]
+         + 0.15 * rng.standard_normal(n))
+    xs = np.linspace(-3.5, 3.5, 201)[:, None]
+    return x, y, xs
+
+
+def classification_2d(n_per=60, seed=0):
+    """2-D two-cluster ±1 data (stand-in for classification_data.npz)."""
+    rng = np.random.default_rng(seed)
+    x1 = rng.standard_normal((n_per, 2)) * 0.7 + np.array([1.2, 1.2])
+    x2 = rng.standard_normal((n_per, 2)) * 0.7 + np.array([-1.2, -1.2])
+    x = np.vstack([x1, x2])
+    y = np.concatenate([np.ones(n_per), -np.ones(n_per)])
+    t1 = np.linspace(-3.5, 3.5, 41)
+    t2 = np.linspace(-3.5, 3.5, 41)
+    return x, y, t1, t2
+
+
+def digits_3v5(n_per=80, dim=64, seed=0):
+    """High-dimensional two-class data shaped like the USPS 3-vs-5 task
+    (stand-in; two anisotropic Gaussians with overlapping support)."""
+    rng = np.random.default_rng(seed)
+    mu3 = rng.standard_normal(dim) * 0.5
+    mu5 = mu3 + rng.standard_normal(dim) * 0.35
+    x3 = rng.standard_normal((n_per, dim)) * 0.8 + mu3
+    x5 = rng.standard_normal((n_per, dim)) * 0.8 + mu5
+    x = np.vstack([x3, x5])
+    y = np.concatenate([np.ones(n_per), -np.ones(n_per)])
+    perm = rng.permutation(2 * n_per)
+    return x[perm], y[perm]
+
+
+def multiclass_blobs(n_per=30, n_class=4, seed=0):
+    rng = np.random.default_rng(seed)
+    angles = np.linspace(0, 2 * np.pi, n_class, endpoint=False)
+    centers = np.stack([2.0 * np.cos(angles), 2.0 * np.sin(angles)], 1)
+    x = np.vstack([rng.standard_normal((n_per, 2)) * 0.5 + c
+                   for c in centers])
+    y = np.repeat(np.arange(n_class), n_per)
+    return x, y
+
+
+def mutag_like(n_graphs=30, seed=0):
+    """Small synthetic graph dataset (stand-in for MUTAG): class +1 =
+    rings, class −1 = stars, with size jitter and label noise."""
+    rng = np.random.default_rng(seed)
+    blocks, gr_id, labels, gy = [], [], [], []
+    for g in range(n_graphs):
+        n = int(rng.integers(5, 9))
+        A = np.zeros((n, n))
+        if g % 2 == 0:      # ring
+            for i in range(n):
+                A[i, (i + 1) % n] = A[(i + 1) % n, i] = 1
+            gy.append(1.0)
+        else:               # star
+            A[0, 1:] = A[1:, 0] = 1
+            gy.append(-1.0)
+        blocks.append(A)
+        gr_id += [g] * n
+        labels += [int(v) for v in rng.integers(0, 2, n)]
+    N = sum(b.shape[0] for b in blocks)
+    Afull = np.zeros((N, N))
+    ofs = 0
+    for b in blocks:
+        k = b.shape[0]
+        Afull[ofs:ofs + k, ofs:ofs + k] = b
+        ofs += k
+    return Afull, np.array(labels), np.array(gr_id), np.array(gy)

@@ -1,0 +1,150 @@
+"""Fused Gram-matrix Pallas kernel (pairwise distance + kernel map).
+
+TPU-native replacement for the BLAS-dgemm-based kernel evaluation of the
+reference (cov.py sq_dist + elementwise, SURVEY.md §2.1): one kernel
+computes a K tile end-to-end — x-tiles enter VMEM once, the cross term
+runs on the MXU, norms/exponential on the VPU, and only the finished tile
+is written back to HBM (a dense XLA pipeline writes the distance matrix
+and the kernel matrix separately; the fusion halves HBM traffic on the
+n² path).
+
+Supported stationary families (static ``kind``): 'rbf', 'matern1/3/5',
+'rq'.  Forward runs in Pallas; hyperparameter/input gradients come from a
+``jax.custom_vjp`` whose backward re-derives the analytic tile math in
+plain XLA (one extra fused pass, no O(n²) residuals).
+
+Falls back to interpret mode off-TPU (tests run on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BM = 256
+_BN = 256
+
+
+def _on_tpu():
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _apply_kind(kind, d2, sf2):
+    """k(d2) for squared distance d2 (already lengthscale-scaled)."""
+    if kind == "rbf":
+        return sf2 * jnp.exp(-0.5 * d2)
+    t = jnp.sqrt({"matern1": 1.0, "matern3": 3.0, "matern5": 5.0}.get(kind, 1.0)
+                 * d2 + 1e-36)
+    if kind == "matern1":
+        return sf2 * jnp.exp(-t)
+    if kind == "matern3":
+        return sf2 * (1.0 + t) * jnp.exp(-t)
+    if kind == "matern5":
+        return sf2 * (1.0 + t + t * t / 3.0) * jnp.exp(-t)
+    if kind == "rq":
+        # alpha folded into sf2 path? 'rq' uses alpha=1 here; general RQ
+        # stays on the XLA path.
+        return sf2 / (1.0 + 0.5 * d2)
+    raise ValueError(kind)
+
+
+def _tile_kernel(kind, x_ref, z_ref, scal_ref, out_ref):
+    xi = x_ref[...]
+    zj = z_ref[...]
+    inv_ell2 = scal_ref[0, 0]
+    sf2 = scal_ref[0, 1]
+    xn = jnp.sum(xi * xi, axis=1)[:, None]
+    zn = jnp.sum(zj * zj, axis=1)[None, :]
+    cross = jax.lax.dot_general(
+        xi, zj, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    d2 = jnp.maximum(xn + zn - 2.0 * cross, 0.0) * inv_ell2
+    out_ref[...] = _apply_kind(kind, d2, sf2).astype(out_ref.dtype)
+
+
+def _pallas_gram(kind, x, z, inv_ell2, sf2, interpret):
+    n, d = x.shape
+    m = z.shape[0]
+    bm, bn = min(_BM, n), min(_BN, m)
+    grid = (pl.cdiv(n, bm), pl.cdiv(m, bn))
+    scal = jnp.stack([inv_ell2, sf2]).astype(jnp.float32)[None, :]
+    return pl.pallas_call(
+        functools.partial(_tile_kernel, kind),
+        out_shape=jax.ShapeDtypeStruct((n, m), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, z, scal)
+
+
+def _xla_gram(kind, x, z, inv_ell2, sf2):
+    xn = jnp.sum(x * x, axis=1)[:, None]
+    zn = jnp.sum(z * z, axis=1)[None, :]
+    d2 = jnp.maximum(xn + zn - 2.0 * (x @ z.T), 0.0) * inv_ell2
+    return _apply_kind(kind, d2, sf2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_gram(kind, x, z, inv_ell2, sf2):
+    """K(x, z) for an isotropic stationary kernel.
+
+    inv_ell2 = 1/ℓ², sf2 = signal variance (both positive scalars).
+    Pallas on TPU, interpret/XLA elsewhere; gradients analytic via XLA.
+    """
+    if _on_tpu():
+        return _pallas_gram(kind, x, z, inv_ell2, sf2, interpret=False)
+    return _xla_gram(kind, x, z, inv_ell2, sf2)
+
+
+def _fwd(kind, x, z, inv_ell2, sf2):
+    return fused_gram(kind, x, z, inv_ell2, sf2), (x, z, inv_ell2, sf2)
+
+
+def _bwd(kind, res, gbar):
+    x, z, inv_ell2, sf2 = res
+
+    def f(x_, z_, i_, s_):
+        return _xla_gram(kind, x_, z_, i_, s_)
+
+    _, vjp = jax.vjp(f, x, z, inv_ell2, sf2)
+    return vjp(gbar)
+
+
+fused_gram.defvjp(_fwd, _bwd)
+
+
+def cross_fused(kernel, x, z):
+    """Fused `_cross` for RBF/RBFunit/Matern kernels; falls back to the
+    kernel's own implementation for unsupported classes."""
+    from pygps_tpu.core import kernels as cov
+
+    if isinstance(kernel, cov.RBF):
+        inv_ell2 = jnp.exp(-2.0 * kernel.log_ell)
+        sf2 = jnp.exp(2.0 * kernel.log_sigma)
+        return fused_gram("rbf", x, z, inv_ell2, sf2)
+    if isinstance(kernel, cov.RBFunit):
+        inv_ell2 = jnp.exp(-2.0 * kernel.log_ell)
+        return fused_gram("rbf", x, z, inv_ell2, jnp.asarray(1.0, x.dtype))
+    if isinstance(kernel, cov.Matern):
+        inv_ell2 = jnp.exp(-2.0 * kernel.log_ell)
+        sf2 = jnp.exp(2.0 * kernel.log_sigma)
+        kind = {1: "matern1", 3: "matern3", 5: "matern5"}.get(kernel.d)
+        if kind is not None:
+            return fused_gram(kind, x, z, inv_ell2, sf2)
+    return kernel._cross(x, z)

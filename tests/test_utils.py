@@ -1,0 +1,115 @@
+"""Checkpoint/metrics/tools tests (SURVEY.md §5 aux subsystems)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import pygps_tpu as pg
+from pygps_tpu.utils import checkpoint as ckpt
+from pygps_tpu.utils import metrics
+from pygps_tpu.utils.tools import safe_cholesky, solve_chol, sq_dist
+
+
+def test_safe_cholesky_clean_matrix():
+    rng = np.random.default_rng(0)
+    W = rng.standard_normal((10, 10))
+    A = jnp.asarray(W @ W.T + 10 * np.eye(10))
+    L, jit = safe_cholesky(A)
+    assert float(jit) == 0.0
+    assert np.allclose(np.asarray(L @ L.T), np.asarray(A), atol=1e-10)
+
+
+def test_safe_cholesky_escalates_jitter():
+    # singular matrix: needs jitter, still returns a usable factor
+    v = jnp.ones((5, 1))
+    A = v @ v.T                      # rank 1
+    L, jit = safe_cholesky(A)
+    assert float(jit) > 0.0
+    assert np.all(np.isfinite(np.asarray(L)))
+
+
+def test_safe_cholesky_grad_flows():
+    A0 = jnp.eye(3) * 2.0
+
+    def f(a):
+        L, _ = safe_cholesky(a)
+        return jnp.sum(jnp.log(jnp.diag(L)))
+
+    g = jax.grad(f)(A0)
+    assert np.allclose(np.diag(np.asarray(g)), 0.25)  # d(½logdet)/dA = ½A⁻¹
+
+
+def test_solve_chol_roundtrip():
+    rng = np.random.default_rng(1)
+    W = rng.standard_normal((8, 8))
+    A = jnp.asarray(W @ W.T + 8 * np.eye(8))
+    L, _ = safe_cholesky(A)
+    b = jnp.asarray(rng.standard_normal(8))
+    x = solve_chol(L, b)
+    assert np.allclose(np.asarray(A @ x), np.asarray(b), atol=1e-10)
+
+
+def test_sq_dist_nonnegative_and_exact():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((20, 3)))
+    d2 = sq_dist(x, x)
+    assert float(jnp.min(d2)) >= 0.0
+    ref = ((np.asarray(x)[:, None] - np.asarray(x)[None, :]) ** 2).sum(-1)
+    assert np.allclose(np.asarray(d2), ref, atol=1e-10)
+
+
+def test_checkpoint_roundtrip_functors(tmp_path):
+    path = str(tmp_path / "ck.npz")
+    kern = pg.cov.RBF(0.3, 0.7) + pg.cov.Linear(-0.2)
+    lik = pg.lik.Gauss(-1.5)
+    ckpt.save(path, (kern, lik), meta={"note": "test"})
+    like = (pg.cov.RBF() + pg.cov.Linear(), pg.lik.Gauss())
+    (k2, l2), meta = ckpt.load(path, like)
+    assert meta["note"] == "test"
+    assert np.allclose(k2.hyp, kern.hyp)
+    assert np.allclose(l2.hyp, lik.hyp)
+
+
+def test_checkpoint_model_roundtrip(tmp_path):
+    path = str(tmp_path / "model.npz")
+    rng = np.random.default_rng(3)
+    x = np.linspace(-2, 2, 20)[:, None]
+    y = np.sin(x[:, 0]) + 0.1 * rng.standard_normal(20)
+    m = pg.GPR()
+    m.setData(x, y)
+    m.optimize(numIterations=10)
+    hyp_opt = m.covfunc.hyp
+    ckpt.save_model(path, m)
+
+    m2 = pg.GPR()
+    ckpt.load_model(path, m2)
+    assert np.allclose(m2.covfunc.hyp, hyp_opt)
+
+
+def test_checkpoint_structure_mismatch_raises(tmp_path):
+    path = str(tmp_path / "bad.npz")
+    ckpt.save(path, pg.cov.RBF())
+    with pytest.raises(ValueError):
+        ckpt.load(path, (pg.cov.RBF(), pg.lik.Gauss()))
+
+
+def test_metrics_jsonl(tmp_path):
+    path = str(tmp_path / "m.jsonl")
+    log = metrics.MetricsLogger(path)
+    log.log("nlml", value=1.5, grad_norm=0.1)
+    log.log("chol", wall_s=0.02)
+    log.close()
+    lines = [json.loads(l) for l in open(path)]
+    assert lines[0]["event"] == "nlml"
+    assert lines[1]["wall_s"] == 0.02
+
+
+def test_trace_span_runs():
+    with metrics.trace_span("gram"):
+        _ = jnp.ones((4, 4)) @ jnp.ones((4, 4))
+    assert metrics.last_span("gram") is not None
