@@ -71,10 +71,14 @@ def run():
 
     x_np, y_np = _data()
 
-    # ---- baseline (reference recipe, numpy f64 on CPU) ----
-    t0 = time.perf_counter()
-    baseline_numpy_eval(x_np, y_np)
-    t_base = time.perf_counter() - t0
+    # ---- baseline (reference recipe, numpy f64 on CPU; best of 2 to
+    # damp host-contention noise) ----
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        baseline_numpy_eval(x_np, y_np)
+        times.append(time.perf_counter() - t0)
+    t_base = min(times)
     base_eps = 1.0 / t_base
 
     # ---- ours (jitted value_and_grad on the default device) ----

@@ -1,0 +1,92 @@
+"""Distributed exact-GP benchmark — the n=100k north-star configuration.
+
+Target (BASELINE.md): n=100k Cholesky + solve < 2 s/iteration on 8 × v5e.
+On this single-chip environment the script accepts --n/--devices to run
+scaled-down; on a real pod slice run with the full configuration:
+
+    python benchmarks/bench_dist.py --n 98304 --block 512
+
+With one physical device it builds the virtual CPU mesh instead (smoke /
+scaling-law measurement mode).  Reports wall-clock for sharded Gram,
+distributed Cholesky, solve, and full NLML+grad, as JSON lines.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=4096)
+    ap.add_argument("--d", type=int, default=8)
+    ap.add_argument("--block", type=int, default=256)
+    ap.add_argument("--devices", type=int, default=None)
+    ap.add_argument("--cpu-mesh", action="store_true",
+                    help="force 8 virtual CPU devices")
+    args = ap.parse_args()
+
+    import os
+
+    if args.cpu_mesh:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device_count=8")
+    import jax
+
+    if args.cpu_mesh:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    import pygps_tpu as pg
+    from pygps_tpu.parallel import mesh as pmesh
+    from pygps_tpu.parallel.exact import DistributedExact
+    from pygps_tpu.parallel.pcholesky import pcholesky, psolve_chol
+    from pygps_tpu.parallel.ring_gram import gram_bc
+
+    ndev = args.devices or len(jax.devices())
+    mesh = pmesh.make_mesh(ndev)
+    p = mesh.devices.size
+    n = pmesh.pad_to_blocks(args.n, args.block, p)
+    print(json.dumps({"config": {"n": n, "d": args.d, "block": args.block,
+                                 "devices": p,
+                                 "platform": jax.devices()[0].platform}}))
+
+    rng = np.random.default_rng(0)
+    dtype = jnp.float32 if jax.devices()[0].platform == "tpu" else jnp.float64
+    x = jnp.asarray(rng.standard_normal((n, args.d)), dtype=dtype)
+    y = jnp.asarray(np.sin(np.asarray(x)[:, 0]), dtype=dtype)
+    kern = pg.cov.RBF(jnp.asarray(0.5, dtype), jnp.asarray(0.0, dtype))
+    mean, lik = pg.mean.Zero(), pg.lik.Gauss(jnp.asarray(-1.0, dtype))
+    eng = DistributedExact(mesh, block=args.block)
+
+    def timed(name, fn, *a, reps=3):
+        out = fn(*a)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*a)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / reps
+        print(json.dumps({"metric": name, "value": round(dt, 4),
+                          "unit": "s"}))
+        return out
+
+    gram_j = jax.jit(lambda: gram_bc(kern, x, mesh, args.block,
+                                     noise_diag=jnp.exp(-2.0)))
+    K_bc = timed("sharded_gram_s", gram_j)
+    chol_j = jax.jit(lambda K: pcholesky(K, mesh))
+    L = timed("dist_cholesky_s", chol_j, K_bc)
+    solve_j = jax.jit(lambda L, r: psolve_chol(L, r, mesh))
+    timed("dist_solve_s", solve_j, L, y)
+
+    vgrad = jax.jit(jax.value_and_grad(
+        lambda k: eng.nlml(mean, k, lik, x, y)))
+    timed("nlml_grad_s", vgrad, kern, reps=2)
+
+
+if __name__ == "__main__":
+    main()

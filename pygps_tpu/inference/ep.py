@@ -1,26 +1,32 @@
 """Expectation-Propagation inference, restructured as parallel EP.
 
-TPU-native counterpart of pyGPs ``inf.EP`` (inf.py:~500-700).  The
-reference sweeps sites *sequentially* with rank-1 posterior updates
-(O(n²) per site → O(n³) per sweep, inherently serial — SURVEY.md §3.3
-note).  On TPU all site updates of a sweep are batched (damped parallel
-EP) under ``lax.while_loop``: per sweep one Cholesky of B = I + sW K sW
-plus matmuls, fully on the MXU.  Convergence tolerance matches the
-reference (|ΔnlZ| < 1e-4); parity is statistical, not bitwise
-(BASELINE.md: "within MC/solver tolerance").
+TPU-native counterpart of pyGPs ``inf.EP`` (inf.py:~500-700) and the
+structured ``inf.FITC_EP`` (inf.py:~1150-1400) — ONE engine over the
+prior-operator interface (inference/priors.py): dense path O(n³)/sweep,
+FITC path O(n·m²)/sweep, the reference's complexity split.
 
-The EP energy implemented here (derivation in comments below) is exact for
-a Gaussian likelihood — tests pin nlZ_EP == nlZ_exact in that case.
+The reference sweeps sites *sequentially* with rank-1 updates (inherently
+serial, SURVEY.md §3.3); here all site updates of a sweep are batched
+(damped parallel EP) under ``lax.while_loop`` — per sweep one factorization
++ matmuls on the MXU.  Convergence tolerance matches the reference
+(|ΔnlZ| < 1e-4); parity is statistical (BASELINE.md "within MC/solver
+tolerance").
 
-Hyperparameter gradients: at an EP fixed point the energy is stationary in
-the site parameters, so ``dnlZ`` is ``jax.grad`` of the energy with sites
-``stop_gradient``-ed — the same "hold sites fixed" rule the reference's
-hand-written dnlZ assembly uses (inf.py:~680).
+EP energy (derivation): Z_EP = G · Π_i (Ẑ_i / z̃_i) with
+  G    = ∫ N(f|m,K̂) Π t̃_i(f_i) df          (Gaussian integral)
+  Ẑ_i  = ∫ N(f_i|μ₋ᵢ, σ²₋ᵢ) p(y_i|f_i) df_i  (lik.ep_moments lZ)
+  z̃_i  = ∫ N(f_i|μ₋ᵢ, σ²₋ᵢ) t̃_i(f_i) df_i  (closed form)
+  log G = −½ log det B + ½ ν̃ᵀμ + ½ ν̃ᵀ(m − K̂·A·m) − ½ mᵀ·A·m,
+  A = sW B⁻¹ sW,  B = I + sW K̂ sW.
+Exact for Gaussian likelihoods (pinned by tests against inf.Exact).
+
+Gradients: at an EP fixed point the energy is stationary in the site
+parameters, so ``dnlZ`` is ``jax.grad`` of the energy with sites
+stop-gradiented — the reference's "hold sites fixed" rule (inf.py:~680).
 
 Warm starting: the reference caches ``last_ttau/last_tnu`` on the engine
-instance (making ``inf.EP`` stateful during optimization).  Here the pure
-function accepts optional initial sites; the engine wrapper in
-``engines.py`` reproduces the stateful caching outside jit.
+instance (stateful ``inf.EP``); the engine wrapper in engines.py
+reproduces that outside jit via the optional ``ttau0/tnu0`` arguments.
 """
 
 from __future__ import annotations
@@ -30,55 +36,36 @@ import jax.numpy as jnp
 from jax import lax
 
 from pygps_tpu.core.posteriors import Posterior
-from pygps_tpu.utils.tools import safe_cholesky, solve_chol, solve_tril
+from pygps_tpu.inference.laplace import _fitc_ops, inducing_posterior
+from pygps_tpu.inference.priors import DenseOps
 
 _MIN_SWEEPS = 2
 _MAX_SWEEPS = 60
 _TOL = 1e-4
-_DAMP = 0.7          # damping factor for parallel site updates
+_DAMP = 0.7
 
 
-def _posterior_from_sites(K, m, ttau, tnu):
-    """q(f) = N(mu, Sigma) for prior N(m, K) and sites exp(−½ttau f²+tnu f).
-
-    Sigma = (K⁻¹ + T̃)⁻¹ = K − K sW B⁻¹ sW K,  B = I + sW K sW
-    mu    = Sigma (K⁻¹ m + ν̃) = (m − K sW B⁻¹ sW m) + Sigma ν̃
-    """
-    n = K.shape[0]
-    sW = jnp.sqrt(jnp.maximum(ttau, 0.0))
-    B = jnp.eye(n, dtype=K.dtype) + (sW[:, None] * K) * sW[None, :]
-    L, _ = safe_cholesky(B)
-    V = solve_tril(L, sW[:, None] * K)            # V'V = K sW B⁻¹ sW K
-    Sigma = K - V.T @ V
-    w = solve_chol(L, sW * m)                     # B⁻¹ sW m
-    mu = (m - K @ (sW * w)) + Sigma @ tnu
-    return Sigma, mu, L, sW, w
+def _moments_from_sites(ops, m, ttau, tnu):
+    """(diag Σ, μ, aux) of q(f) for sites exp(−½ ttau f² + tnu f)."""
+    aux = ops.with_W(ttau)
+    sig = ops.diag_Sigma(aux)
+    t = m + ops.matvec(tnu)
+    mu = t - ops.matvec(ops.apply_A(aux, t))
+    return sig, mu, aux
 
 
-def _energy(K, m, lik, y, ttau, tnu):
-    """EP approximation of −log Z.
-
-    Z_EP = G · Π_i (Ẑ_i / z̃_i) with
-      G    = ∫ N(f|m,K) Π t̃_i(f_i) df            (Gaussian integral)
-      Ẑ_i = ∫ N(f_i|μ₋ᵢ, σ²₋ᵢ) p(y_i|f_i) df_i    (exp of lik.ep_moments lZ)
-      z̃_i = ∫ N(f_i|μ₋ᵢ, σ²₋ᵢ) t̃_i(f_i) df_i    (closed form)
-
-    log G = −Σ log diag L + ½ ν̃ᵀμ + ½ ν̃ᵀ(m − K sW w) − ½ mᵀ sW w
-    log z̃ = −½log(1+τ̃v₀) + (m₀/v₀+ν̃)² v₀ / (2(1+τ̃v₀)) − m₀²/(2v₀)
-    (m₀, v₀ = cavity mean/variance).  Exact for Gaussian likelihoods.
-    """
-    Sigma, mu, L, sW, w = _posterior_from_sites(K, m, ttau, tnu)
-    sig = jnp.diag(Sigma)
-    # cavity
+def _energy(ops, m, lik, y, ttau, tnu):
+    sig, mu, aux = _moments_from_sites(ops, m, ttau, tnu)
     tau_n = 1.0 / sig - ttau
     nu_n = mu / sig - tnu
     v0 = 1.0 / tau_n
     m0 = nu_n * v0
     lZ, _, _ = lik.ep_moments(y, m0, v0)
-    logG = (-jnp.sum(jnp.log(jnp.diag(L)))
+    Am = ops.apply_A(aux, m)
+    logG = (-0.5 * ops.logdetB(aux)
             + 0.5 * jnp.dot(tnu, mu)
-            + 0.5 * jnp.dot(tnu, m - K @ (sW * w))
-            - 0.5 * jnp.dot(m, sW * w))
+            + 0.5 * jnp.dot(tnu, m - ops.matvec(Am))
+            - 0.5 * jnp.dot(m, Am))
     t = 1.0 + ttau * v0
     log_zt = (-0.5 * jnp.log(t)
               + (m0 / v0 + tnu) ** 2 * v0 / (2.0 * t)
@@ -86,17 +73,12 @@ def _energy(K, m, lik, y, ttau, tnu):
     return -(logG + jnp.sum(lZ) - jnp.sum(log_zt))
 
 
-def _ep_sweeps(K, m, lik, y, ttau0, tnu0):
-    """Damped parallel-EP fixed point; returns (ttau, tnu, nlZ, sweeps)."""
-
+def _ep_sweeps(ops, m, lik, y, ttau0, tnu0):
     def sweep(carry):
         ttau, tnu, nlZ_old, dn, it = carry
-        Sigma, mu, _, _, _ = _posterior_from_sites(K, m, ttau, tnu)
-        sig = jnp.diag(Sigma)
-        tau_n = 1.0 / sig - ttau
+        sig, mu, _ = _moments_from_sites(ops, m, ttau, tnu)
+        tau_n = jnp.maximum(1.0 / sig - ttau, 1e-10)   # cavity precision
         nu_n = mu / sig - tnu
-        # guard: cavity precision must stay positive
-        tau_n = jnp.maximum(tau_n, 1e-10)
         v0 = 1.0 / tau_n
         m0 = nu_n * v0
         _, dlZ, d2lZ = lik.ep_moments(y, m0, v0)
@@ -106,7 +88,7 @@ def _ep_sweeps(K, m, lik, y, ttau0, tnu0):
         tnu_new = (dlZ - m0 * d2lZ) / denom
         ttau = (1.0 - _DAMP) * ttau + _DAMP * ttau_new
         tnu = (1.0 - _DAMP) * tnu + _DAMP * tnu_new
-        nlZ = _energy(K, m, lik, y, ttau, tnu)
+        nlZ = _energy(ops, m, lik, y, ttau, tnu)
         return ttau, tnu, nlZ, jnp.abs(nlZ - nlZ_old), it + 1
 
     def cond(carry):
@@ -114,61 +96,75 @@ def _ep_sweeps(K, m, lik, y, ttau0, tnu0):
         not_converged = jnp.logical_or(dn > _TOL, it < _MIN_SWEEPS)
         return jnp.logical_and(not_converged, it < _MAX_SWEEPS)
 
-    init = (ttau0, tnu0, jnp.asarray(jnp.inf, K.dtype),
-            jnp.asarray(jnp.inf, K.dtype), 0)
+    init = (ttau0, tnu0, jnp.asarray(jnp.inf, m.dtype),
+            jnp.asarray(jnp.inf, m.dtype), 0)
     ttau, tnu, nlZ, _, it = lax.while_loop(cond, sweep, init)
     return ttau, tnu, nlZ, it
 
 
-def _sites(mean, kernel, lik, x, y, ttau0=None, tnu0=None):
-    K = kernel.Ktrain(x)
-    m = mean(x)
-    if ttau0 is None:
-        ttau0 = jnp.zeros_like(y)
-        tnu0 = jnp.zeros_like(y)
-    ttau, tnu, _, it = _ep_sweeps(K, m, lik, y, ttau0, tnu0)
-    return ttau, tnu, it
-
-
-def nlml(mean, kernel, lik, x, y, ttau0=None, tnu0=None):
-    """Differentiable EP NLML (sites found non-diff, held fixed for grad —
-    valid by EP-energy stationarity)."""
-    K = kernel.Ktrain(x)
-    m = mean(x)
-    sg = lax.stop_gradient
-    ttau, tnu, _ = _sites(
-        _Frozen(mean), _Frozen(kernel), _Frozen(lik),
-        sg(x), sg(y),
-        None if ttau0 is None else sg(ttau0),
-        None if tnu0 is None else sg(tnu0),
-    )
-    return _energy(K, m, lik, y, sg(ttau), sg(tnu))
-
-
-def _Frozen(functor):
-    """Stop-gradient every leaf of a functor pytree."""
+def _frozen(functor):
     return jax.tree_util.tree_map(lax.stop_gradient, functor)
 
 
-def evaluate(mean, kernel, lik, x, y, ttau0=None, tnu0=None):
-    """(Posterior, nlZ, (ttau, tnu)) — engine entry point.
+def nlml_ops(ops, m, lik, y, ttau0=None, tnu0=None):
+    """Differentiable EP NLML over a prior operator (sites found without
+    gradients, held fixed for the energy — valid by EP stationarity)."""
+    sg = lax.stop_gradient
+    if ttau0 is None:
+        ttau0 = jnp.zeros_like(y)
+        tnu0 = jnp.zeros_like(y)
+    ttau, tnu, _, _ = _ep_sweeps(_frozen(ops), sg(m), _frozen(lik), sg(y),
+                                 sg(ttau0), sg(tnu0))
+    return _energy(ops, m, lik, y, sg(ttau), sg(tnu))
 
-    Posterior keeps the reference contract:
-      sW = √ttau, L = chol(I + sW K sW),
-      alpha = K⁻¹(mu − m) computed stably as ν̃ − sW·B⁻¹·sW·(K ν̃ + m... )
-    derived from mu = m − K sW w + Sigma ν̃:
-      K⁻¹(mu − m) = ν̃ − sW B⁻¹ sW (K ν̃ + m) ≡ alpha.
-    """
-    K = kernel.Ktrain(x)
+
+def _alpha_from_sites(ops, m, ttau, tnu):
+    """alpha = K̂⁻¹(μ − m) = ν̃ − A(K̂ ν̃ + m)."""
+    aux = ops.with_W(ttau)
+    return tnu - ops.apply_A(aux, ops.matvec(tnu) + m), aux
+
+
+# ---------------------------------------------------------------------------
+# Dense entry points (reference inf.EP)
+# ---------------------------------------------------------------------------
+
+
+def nlml(mean, kernel, lik, x, y, ttau0=None, tnu0=None):
+    ops = DenseOps(kernel.Ktrain(x))
+    return nlml_ops(ops, mean(x), lik, y, ttau0, tnu0)
+
+
+def evaluate(mean, kernel, lik, x, y, ttau0=None, tnu0=None):
+    ops = DenseOps(kernel.Ktrain(x))
     m = mean(x)
     if ttau0 is None:
         ttau0 = jnp.zeros_like(y)
         tnu0 = jnp.zeros_like(y)
-    ttau, tnu, nlZ, _ = _ep_sweeps(K, m, lik, y, ttau0, tnu0)
-    n = K.shape[0]
+    ttau, tnu, nlZ, _ = _ep_sweeps(ops, m, lik, y, ttau0, tnu0)
+    alpha, aux = _alpha_from_sites(ops, m, ttau, tnu)
+    L, is_tril = ops.posterior_L(aux)
     sW = jnp.sqrt(jnp.maximum(ttau, 0.0))
-    B = jnp.eye(n, dtype=K.dtype) + (sW[:, None] * K) * sW[None, :]
-    L, _ = safe_cholesky(B)
-    alpha = tnu - sW * solve_chol(L, sW * (K @ tnu + m))
-    post = Posterior(alpha=alpha, sW=sW, L=L, is_tril=True)
+    post = Posterior(alpha=alpha, sW=sW, L=L, is_tril=is_tril)
+    return post, nlZ, (ttau, tnu)
+
+
+# ---------------------------------------------------------------------------
+# FITC entry points (reference inf.FITC_EP, O(n·m²))
+# ---------------------------------------------------------------------------
+
+
+def fitc_nlml(mean, kernel, lik, x, y, ttau0=None, tnu0=None):
+    ops, _ = _fitc_ops(kernel, x)
+    return nlml_ops(ops, mean(x), lik, y, ttau0, tnu0)
+
+
+def fitc_evaluate(mean, kernel, lik, x, y, ttau0=None, tnu0=None):
+    ops, Luu = _fitc_ops(kernel, x)
+    m = mean(x)
+    if ttau0 is None:
+        ttau0 = jnp.zeros_like(y)
+        tnu0 = jnp.zeros_like(y)
+    ttau, tnu, nlZ, _ = _ep_sweeps(ops, m, lik, y, ttau0, tnu0)
+    alpha, _ = _alpha_from_sites(ops, m, ttau, tnu)
+    post = inducing_posterior(ops, Luu, m, alpha, ttau)
     return post, nlZ, (ttau, tnu)

@@ -108,13 +108,67 @@ def test_gpc_fitc_end_to_end():
         assert np.mean(np.sign(ym[:, 0]) == y) > 0.85, inf_name
 
 
-def test_fitc_laplace_matches_dense_laplace_on_fitc_prior():
-    """The dense-fallback FITC-Laplace nlZ equals Laplace on the explicit
-    FITC prior matrix (internal consistency)."""
+class _ExplicitKhat:
+    """Dense kernel presenting the same K̂ = diag(D) + VᵀV matrix the
+    structured FITC ops represent implicitly."""
+
+    def __init__(self, kern, x):
+        from pygps_tpu.inference.laplace import _fitc_ops
+
+        ops, _ = _fitc_ops(kern, x)
+        self._K = jnp.diag(ops.D) + ops.V.T @ ops.V
+
+    def Ktrain(self, x):
+        return self._K
+
+
+def test_fitc_laplace_structured_equals_dense_on_khat():
+    """Structured O(n·m²) FITC-Laplace == dense Laplace on explicit K̂."""
+    from pygps_tpu.inference import laplace
+
     x, y = _toy(n=20, seed=4)
     yc = jnp.sign(y)
     u = x[::4]
     kern = cov.FITC(pg.cov.RBF(0.2, 0.2), u)
     mean, lik = pg.mean.Zero(), pg.lik.Erf()
-    nl = float(fitc.laplace_nlml(mean, kern, lik, x, yc))
-    assert np.isfinite(nl)
+    nl_struct = float(fitc.laplace_nlml(mean, kern, lik, x, yc))
+    nl_dense = float(laplace.nlml(mean, _ExplicitKhat(kern, x), lik, x, yc))
+    assert np.isclose(nl_struct, nl_dense, rtol=1e-8)
+
+
+def test_fitc_ep_structured_equals_dense_on_khat():
+    """Structured O(n·m²) FITC-EP == dense EP on explicit K̂."""
+    from pygps_tpu.inference import ep
+
+    x, y = _toy(n=20, seed=5)
+    yc = jnp.sign(y)
+    u = x[::4]
+    kern = cov.FITC(pg.cov.RBF(0.2, 0.2), u)
+    mean, lik = pg.mean.Zero(), pg.lik.Erf()
+    nl_struct = float(fitc.ep_nlml(mean, kern, lik, x, yc))
+    nl_dense = float(ep.nlml(mean, _ExplicitKhat(kern, x), lik, x, yc))
+    assert np.isclose(nl_struct, nl_dense, rtol=1e-6)
+
+
+def test_fitc_laplace_grad_matches_fd():
+    import jax
+    from jax.flatten_util import ravel_pytree
+
+    x, y = _toy(n=16, seed=6)
+    yc = jnp.sign(y)
+    u = x[::4]
+    mean = pg.mean.Zero()
+    kern = cov.FITC(pg.cov.RBF(0.2, 0.2), u)
+    lik = pg.lik.Erf()
+    theta, unravel = ravel_pytree((mean, kern, lik))
+
+    def f(t):
+        m, k, l = unravel(t)
+        return fitc.laplace_nlml(m, k, l, x, yc)
+
+    g = jax.grad(f)(theta)
+    eps = 1e-6
+    for i in range(len(theta)):
+        e = jnp.zeros_like(theta).at[i].set(eps)
+        fd = (f(theta + e) - f(theta - e)) / (2 * eps)
+        assert np.isclose(float(g[i]), float(fd), rtol=5e-4, atol=1e-7), i
