@@ -15,7 +15,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main():
@@ -56,7 +60,9 @@ def main():
                                  "platform": jax.devices()[0].platform}}))
 
     rng = np.random.default_rng(0)
-    dtype = jnp.float32 if jax.devices()[0].platform == "tpu" else jnp.float64
+    dtype = (jnp.float64 if (jax.devices()[0].platform != "tpu"
+                             and jax.config.jax_enable_x64)
+             else jnp.float32)
     x = jnp.asarray(rng.standard_normal((n, args.d)), dtype=dtype)
     y = jnp.asarray(np.sin(np.asarray(x)[:, 0]), dtype=dtype)
     kern = pg.cov.RBF(jnp.asarray(0.5, dtype), jnp.asarray(0.0, dtype))

@@ -188,24 +188,46 @@ class GP:
             self._pred_jit = jax.jit(run)
         return self._pred_jit
 
-    def predict(self, xs, ys=None):
+    def predict(self, xs, ys=None, batch_size=None):
         """(ym, ys2, fm, fs2, lp) at test inputs (reference gp.GP.predict
-        ordering). lp is None unless ys is given."""
+        ordering). lp is None unless ys is given.
+
+        ``batch_size`` bounds peak memory for very large test sets: the
+        reference loops ~1000-point chunks in Python (gp.py:~280); here a
+        single jitted chunk program is reused over padded chunks."""
         if self.posterior is None:
             self.getPosterior(der=False)
-        return self.predict_with_posterior(self.posterior, xs, ys)
+        return self.predict_with_posterior(self.posterior, xs, ys,
+                                           batch_size=batch_size)
 
-    def predict_with_posterior(self, post, xs, ys=None):
+    def predict_with_posterior(self, post, xs, ys=None, batch_size=None):
         xs = _as_2d(xs)
         ys_a = None if ys is None else config.asarray(ys).reshape(-1)
+        ns = xs.shape[0]
         fn = self._predict_fn()
-        if ys_a is None:
-            # jit cache: separate trace for the no-lp path
-            fmu, fs2, ymu, ys2, lp = fn(self.meanfunc, self.covfunc,
-                                        self.likfunc, post, self.x, xs, None)
-        else:
+
+        if batch_size is None or ns <= batch_size:
             fmu, fs2, ymu, ys2, lp = fn(self.meanfunc, self.covfunc,
                                         self.likfunc, post, self.x, xs, ys_a)
+        else:
+            b = int(batch_size)
+            pad = (-ns) % b
+            xs_p = jnp.concatenate([xs, jnp.tile(xs[-1:], (pad, 1))], 0) \
+                if pad else xs
+            ys_p = None
+            if ys_a is not None:
+                ys_p = jnp.concatenate(
+                    [ys_a, jnp.tile(ys_a[-1:], (pad,))]) if pad else ys_a
+            chunks = []
+            for i in range(0, ns + pad, b):
+                yb = None if ys_p is None else ys_p[i:i + b]
+                chunks.append(fn(self.meanfunc, self.covfunc, self.likfunc,
+                                 post, self.x, xs_p[i:i + b], yb))
+            parts = list(zip(*chunks))
+            cat = [None if parts[k][0] is None
+                   else jnp.concatenate(parts[k])[:ns] for k in range(5)]
+            fmu, fs2, ymu, ys2, lp = cat
+
         self.fm, self.fs2 = np.asarray(fmu)[:, None], np.asarray(fs2)[:, None]
         self.ym, self.ys2 = np.asarray(ymu)[:, None], np.asarray(ys2)[:, None]
         self.lp = None if lp is None else np.asarray(lp)[:, None]

@@ -122,3 +122,73 @@ def sq_dist(x: jax.Array, z: jax.Array) -> jax.Array:
 
 def symmetrize(A: jax.Array) -> jax.Array:
     return 0.5 * (A + A.T)
+
+
+def brentmin(xlow, xupp, Nitmax, tol, f, *args):
+    """Brent's 1-D minimization on [xlow, xupp] (host-side numpy).
+
+    API-parity port surface for pyGPs ``tools.brentmin(xlow, xupp, Nitmax,
+    tol, f, nout, *args)`` — kept for users of the reference utility; the
+    jit-compiled Laplace engine uses backtracking instead (see
+    inference/laplace.py).  Returns (fmin, xmin, num_funcs).
+
+    Fresh implementation of the classic golden-section + parabolic
+    interpolation scheme (Brent 1973; Numerical Recipes exposition).
+    """
+    import numpy as np
+
+    golden = 0.3819660112501051
+    a, b = float(xlow), float(xupp)
+    x = w = v = a + golden * (b - a)
+    fx = fw = fv = f(x, *args)
+    if isinstance(fx, tuple):
+        raise TypeError("brentmin expects a scalar-valued objective")
+    nfuncs = 1
+    d = e = 0.0
+    for _ in range(int(Nitmax)):
+        xm = 0.5 * (a + b)
+        tol1 = tol * abs(x) + 1e-10
+        if abs(x - xm) <= 2.0 * tol1 - 0.5 * (b - a):
+            break
+        use_golden = True
+        if abs(e) > tol1:
+            # parabolic fit through (v, fv), (w, fw), (x, fx)
+            r = (x - w) * (fx - fv)
+            q = (x - v) * (fx - fw)
+            p = (x - v) * q - (x - w) * r
+            q = 2.0 * (q - r)
+            if q > 0:
+                p = -p
+            q = abs(q)
+            e_old, e = e, d
+            if (abs(p) < abs(0.5 * q * e_old) and p > q * (a - x)
+                    and p < q * (b - x)):
+                d = p / q
+                u = x + d
+                if (u - a) < 2 * tol1 or (b - u) < 2 * tol1:
+                    d = tol1 if xm > x else -tol1
+                use_golden = False
+        if use_golden:
+            e = (b - x) if x < xm else (a - x)
+            d = golden * e
+        u = x + d if abs(d) >= tol1 else x + (tol1 if d > 0 else -tol1)
+        fu = f(u, *args)
+        nfuncs += 1
+        if fu <= fx:
+            if u >= x:
+                a = x
+            else:
+                b = x
+            v, w, x = w, x, u
+            fv, fw, fx = fw, fx, fu
+        else:
+            if u < x:
+                a = u
+            else:
+                b = u
+            if fu <= fw or w == x:
+                v, w = w, u
+                fv, fw = fw, fu
+            elif fu <= fv or v == x or v == w:
+                v, fv = u, fu
+    return fx, x, nfuncs
