@@ -29,6 +29,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import tree_util
@@ -391,6 +393,32 @@ class SM(Kernel):
     def _diag(self, z):
         w = jnp.exp(self.log_w)
         return jnp.full(z.shape[0], 1.0, dtype=z.dtype) * jnp.sum(w)
+
+    @staticmethod
+    def init_from_data(Q, x, y, seed=0):
+        """Empirical-spectrum initialization (Wilson & Adams 2013 style,
+        the reference ships an equivalent helper for cov.SM in its demos):
+        weights ~ Var(y)/Q, frequency means uniform up to the empirical
+        Nyquist rate, variances from a truncated-normal over the inverse
+        data range."""
+        rng = np.random.default_rng(seed)
+        x = np.asarray(x)
+        y = np.asarray(y).reshape(-1)
+        D = x.shape[1]
+        rng_span = x.max(axis=0) - x.min(axis=0)
+        rng_span = np.maximum(rng_span, 1e-8)
+        # smallest spacing per dim → Nyquist frequency
+        nyq = np.empty(D)
+        for d in range(D):
+            s = np.sort(x[:, d])
+            dmin = np.diff(s)
+            dmin = dmin[dmin > 1e-12]
+            nyq[d] = 0.5 / (dmin.min() if dmin.size else 1.0)
+        w0 = np.full(Q, max(float(np.var(y)), 1e-8) / Q)
+        mu0 = rng.uniform(1e-8, nyq[None, :], size=(Q, D))
+        var0 = np.abs(rng.normal(size=(Q, D))) / rng_span[None, :] ** 2 + 1e-8
+        return SM(log_w=np.log(w0), log_mean=np.log(mu0),
+                  log_var=np.log(var0))
 
 
 # ---------------------------------------------------------------------------

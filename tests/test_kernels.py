@@ -166,3 +166,16 @@ def test_getcovmatrix_compat_modes():
     assert k.getCovMatrix(x=X, mode="train").shape == (N, N)
     assert k.getCovMatrix(x=X, z=Z, mode="cross").shape == (N, NS)
     assert k.getCovMatrix(z=Z, mode="self_test").shape == (NS, 1)
+
+
+def test_sm_init_from_data_recovers_periodicity():
+    rng = np.random.default_rng(7)
+    x1 = np.linspace(0, 10, 60)[:, None]
+    y1 = np.sin(2 * np.pi * 1.5 * x1[:, 0]) + 0.1 * rng.standard_normal(60)
+    k = cov.SM.init_from_data(3, x1, y1)
+    assert k.log_w.shape == (3,)
+    assert k.log_mean.shape == (3, 1)
+    K = k.Ktrain(jnp.asarray(x1))
+    assert np.all(np.isfinite(np.asarray(K)))
+    w = np.linalg.eigvalsh(np.asarray(K) + 1e-8 * np.eye(60))
+    assert w.min() > -1e-6
