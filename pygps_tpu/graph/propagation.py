@@ -83,6 +83,55 @@ def propagationKernel(A, l, gr_id, h_max: int = 3, w: float = 1e-3,
     return K
 
 
+def propagationKernel_sparse(indptr, indices, data, l, gr_id, h_max: int = 3,
+                             w: float = 1e-3, dist: str = "tv", seed: int = 0,
+                             num_classes=None):
+    """Sparse/native propagation kernel for large graph datasets.
+
+    Same semantics as :func:`propagationKernel` but the adjacency is CSR
+    and propagation/binning/Gram accumulation run through the native C++
+    runtime (pygps_tpu/native; threaded SpMM + scatter counts), avoiding
+    the O(N²) dense adjacency entirely.  Agrees with the dense path when
+    fed the same hash draws (pinned by tests).
+    """
+    from pygps_tpu import native
+
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    data = np.ascontiguousarray(data, dtype=np.float32).copy()
+    gr = np.ascontiguousarray(gr_id, dtype=np.int32)
+    G = int(gr.max()) + 1
+    N = len(indptr) - 1
+
+    l_np = np.asarray(l)
+    if l_np.ndim == 1:
+        C = num_classes or int(l_np[l_np >= 0].max()) + 1
+        P = np.full((N, C), 1.0 / C, dtype=np.float32)
+        labeled = l_np >= 0
+        P[labeled] = 0.0
+        P[labeled, l_np[labeled].astype(int)] = 1.0
+    else:
+        P = np.ascontiguousarray(l_np, dtype=np.float32)
+        C = P.shape[1]
+
+    native.csr_row_normalize(indptr, data)
+    key = jax.random.PRNGKey(seed)
+    K = np.zeros((G, G), dtype=np.float64)
+    for t in range(h_max + 1):
+        key, k_v, k_b = jax.random.split(key, 3)
+        feat = np.sqrt(np.maximum(P, 0.0)) if dist == "hellinger" else P
+        v = np.asarray(jax.random.normal(k_v, (C,)), dtype=np.float64)
+        b = float(jax.random.uniform(k_b)) * w
+        h = np.floor((feat.astype(np.float64) @ v + b) / w).astype(np.int64)
+        h -= h.min()
+        nbins = N
+        np.clip(h, 0, nbins - 1, out=h)
+        M = native.bin_counts(h, gr, G, nbins)
+        native.gram_accumulate(M, K)
+        P = native.csr_spmm(indptr, indices, data, P)
+    return K
+
+
 def normalizeKernel(K):
     """K̂_ij = K_ij / √(K_ii K_jj) (reference graphKernels.normalizeKernel)."""
     K = config.asarray(K)
