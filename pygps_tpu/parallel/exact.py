@@ -133,3 +133,23 @@ class DistributedExact:
         r = y - mean(x)
         L, alpha_tilde, _ = _factor_solve(K_bc, r, sn2, self.mesh, self.axis)
         return L, alpha_tilde, sn2
+
+    def predict(self, mean, kernel, lik, x, y, xs, parts=None):
+        """(ym, ys2, fm, fs2): full distributed predictive at xs.
+
+        μ* = m(x*) + K*ᵀ K̃⁻¹ (y−m);  σ*² = k** − ‖L⁻¹K*‖² with L the
+        distributed factor of K̃ = K + sn2·I (solved via psolve_tril).
+        """
+        from pygps_tpu.parallel.pcholesky import psolve_tril
+
+        if parts is None:
+            parts = self.posterior_parts(mean, kernel, lik, x, y)
+        L, alpha, sn2 = parts
+        Ks = kernel.K(x, xs)
+        kss = kernel.Kdiag(xs)
+        ms = mean(xs)
+        fmu = ms + Ks.T @ alpha
+        V = psolve_tril(L, Ks, self.mesh, self.axis)
+        fs2 = jnp.maximum(kss - jnp.sum(V * V, axis=0), 0.0)
+        _, ymu, ys2 = lik.predict(fmu, fs2)
+        return ymu, ys2, fmu, fs2

@@ -193,3 +193,39 @@ def plogdet_chol(L_bc: jax.Array, mesh: Mesh, axis: str = "shard") -> jax.Array:
     f = shard_map(body, mesh=mesh, in_specs=(P(axis),), out_specs=P(),
                   check_vma=False)
     return f(L_bc)[0]
+
+
+def _solve_fwd_multi_local(L, R, *, p, m, b, n, axis):
+    """Z = L⁻¹ R for matrix RHS R (n, k); returns replicated Z."""
+    d = lax.axis_index(axis)
+    nb = m * p
+
+    def step(kk, Z):
+        owner = kk % p
+        kloc = kk // p
+        cs = kk * b
+        row = lax.dynamic_index_in_dim(L, kloc, axis=0, keepdims=False)
+        S = row @ Z                          # (b, k)
+        L_kk = lax.dynamic_slice(row, (cs * 0, cs), (b, b))
+        R_k = lax.dynamic_slice(R, (cs, cs * 0), (b, R.shape[1]))
+        Z_k = lax.linalg.triangular_solve(
+            L_kk, R_k - S, left_side=True, lower=True)
+        Z_k = lax.psum(jnp.where(d == owner, Z_k, jnp.zeros_like(Z_k)), axis)
+        return lax.dynamic_update_slice(Z, Z_k, (cs, cs * 0))
+
+    return lax.fori_loop(0, nb, step, jnp.zeros_like(R))
+
+
+def psolve_tril(L_bc: jax.Array, R: jax.Array, mesh: Mesh,
+                axis: str = "shard") -> jax.Array:
+    """L⁻¹ R (forward substitution) for the bc-layout factor; R replicated
+    (n, k).  Used by distributed prediction: fs2 = kss − Σ(L⁻¹Ks)²."""
+    p, m, b, n = L_bc.shape
+
+    def body(L, R_):
+        return _solve_fwd_multi_local(L[0], R_, p=p, m=m, b=b, n=n,
+                                      axis=axis)
+
+    f = shard_map(body, mesh=mesh, in_specs=(P(axis), P()), out_specs=P(),
+                  check_vma=False)
+    return f(L_bc, R)

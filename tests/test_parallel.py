@@ -131,3 +131,24 @@ def test_distributed_posterior_predict(msh):
     m_ref.setData(x, y)
     _, _, fm_ref, _, _ = m_ref.predict(xs)
     assert np.allclose(np.asarray(fmu_dist), fm_ref[:, 0], atol=1e-8)
+
+
+def test_distributed_full_predictive_matches_dense(msh):
+    """Distributed predict (mean AND variance) vs the dense model."""
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(np.linspace(-3, 3, N)[:, None])
+    y = jnp.asarray(np.sin(np.asarray(x)[:, 0]) +
+                    0.1 * rng.standard_normal(N))
+    xs = jnp.linspace(-3, 3, 9)[:, None]
+    mean, kern, lik = pg.mean.Zero(), pg.cov.RBF(0.2, 0.1), pg.lik.Gauss(-1.0)
+    eng = DistributedExact(msh, block=B)
+    ym, ys2, fm, fs2 = eng.predict(mean, kern, lik, x, y, xs)
+
+    m_ref = pg.GPR()
+    m_ref.setPrior(kernel=pg.cov.RBF(0.2, 0.1))
+    m_ref.setNoise(-1.0)
+    m_ref.setData(x, y)
+    ym_r, ys2_r, fm_r, fs2_r, _ = m_ref.predict(xs)
+    assert np.allclose(np.asarray(fm), fm_r[:, 0], atol=1e-9)
+    assert np.allclose(np.asarray(fs2), fs2_r[:, 0], atol=1e-9)
+    assert np.allclose(np.asarray(ys2), ys2_r[:, 0], atol=1e-9)
