@@ -45,10 +45,55 @@ def posterior(mean, kernel, lik, x, y) -> Posterior:
     return Posterior(alpha=alpha, sW=sW, L=L, is_tril=True)
 
 
+@jax.custom_vjp
+def _nlml_core(K, m, sn2, y):
+    """NLML as a function of the assembled (K, m, sn2, y).
+
+    Reverse mode uses the reference's analytic gradient identities
+    (inf.py:~180: Q = K̃⁻¹ − ααᵀ; ∂nlZ/∂K = Q/2, ∂/∂m = −α,
+    ∂/∂sn2 = tr(Q)/2, ∂/∂y = α) instead of differentiating through the
+    Cholesky — one triangular-solve pair replaces the chol-VJP's
+    solve+matmul chain (~1.3× faster NLML+grad at n=8k, MEASUREMENTS.md)."""
+    n = y.shape[0]
+    B = K / sn2 + jnp.eye(n, dtype=K.dtype)
+    L, _ = safe_cholesky(B)
+    r = y - m
+    alpha = solve_chol(L, r) / sn2
+    return (0.5 * jnp.dot(r, alpha)
+            + jnp.sum(jnp.log(jnp.diag(L)))
+            + 0.5 * n * jnp.log(2.0 * jnp.pi * sn2))
+
+
+def _nlml_core_fwd(K, m, sn2, y):
+    n = y.shape[0]
+    B = K / sn2 + jnp.eye(n, dtype=K.dtype)
+    L, _ = safe_cholesky(B)
+    r = y - m
+    alpha = solve_chol(L, r) / sn2
+    nlZ = (0.5 * jnp.dot(r, alpha)
+           + jnp.sum(jnp.log(jnp.diag(L)))
+           + 0.5 * n * jnp.log(2.0 * jnp.pi * sn2))
+    return nlZ, (L, alpha, sn2)
+
+
+def _nlml_core_bwd(res, g):
+    L, alpha, sn2 = res
+    n = alpha.shape[0]
+    Kinv = solve_chol(L, jnp.eye(n, dtype=L.dtype)) / sn2   # K̃⁻¹
+    Q = Kinv - alpha[:, None] * alpha[None, :]
+    return (g * 0.5 * Q, -g * alpha, g * 0.5 * jnp.trace(Q), g * alpha)
+
+
+_nlml_core.defvjp(_nlml_core_fwd, _nlml_core_bwd)
+
+
 def nlml(mean, kernel, lik, x, y) -> jax.Array:
     """Negative log marginal likelihood — differentiable in all
-    hyperparameters via the functor pytrees."""
-    return _common(mean, kernel, lik, x, y)[3]
+    hyperparameters via the functor pytrees (analytic VJP inside)."""
+    K = kernel.Ktrain(x)
+    m = mean(x)
+    sn2 = jnp.exp(2.0 * lik.log_sigma)
+    return _nlml_core(K, m, sn2, y)
 
 
 def evaluate(mean, kernel, lik, x, y):
