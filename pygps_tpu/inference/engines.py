@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 from jax import tree_util
 
 from pygps_tpu import config
@@ -70,6 +71,18 @@ class Inference:
         """Engine-specific extra kwargs threaded into nlml/evaluate
         (e.g. EP warm-start sites)."""
         return {}
+
+    #: True when nlml_aux_fn exists: the optimizer threads an aux state
+    #: (EP sites) through evaluations instead of cold-starting each one.
+    has_aux = False
+
+    def nlml_aux_fn(self):
+        """fn(mean, kernel, lik, x, y, *aux) -> (nlZ, aux_new)."""
+        raise NotImplementedError
+
+    def init_aux(self, y):
+        """Initial aux state for a dataset with targets y."""
+        raise NotImplementedError
 
     def update_state(self, aux):
         """Hook for stateful engines (EP warm start)."""
@@ -135,6 +148,22 @@ class EP(Inference):
     def _nlml(self):
         return _ep.nlml
 
+    has_aux = True
+
+    def nlml_aux_fn(self):
+        return _ep.nlml_with_sites
+
+    def init_aux(self, y):
+        w = self._warm(y)
+        if w[0] is not None:
+            return w
+        z = jnp.zeros(np.shape(y)[0], dtype=config.default_dtype())
+        return (z, z)
+
+    def update_state(self, aux):
+        self.last_ttau = np.asarray(aux[0])
+        self.last_tnu = np.asarray(aux[1])
+
 
 class FITC_Exact(Inference):
     """Reference inf.FITC_Exact."""
@@ -156,15 +185,23 @@ class FITC_Laplace(Inference):
         return _fitc.laplace_nlml
 
 
-class FITC_EP(Inference):
-    """Reference inf.FITC_EP (dense-prior fallback, see fitc.py)."""
+class FITC_EP(EP):
+    """Reference inf.FITC_EP (structured O(n·m²), see fitc.py)."""
 
-    def _evaluate(self, mean, kernel, lik, x, y):
-        post, nlZ, _ = _fitc.ep_evaluate(mean, kernel, lik, x, y)
+    def _evaluate(self, mean, kernel, lik, x, y, ttau0=None, tnu0=None):
+        if ttau0 is None:
+            ttau0, tnu0 = self._warm(y)
+        post, nlZ, (ttau, tnu) = _fitc.ep_evaluate(
+            mean, kernel, lik, x, y, ttau0, tnu0)
+        self.last_ttau = np.asarray(ttau)
+        self.last_tnu = np.asarray(tnu)
         return post, nlZ
 
     def _nlml(self):
         return _fitc.ep_nlml
+
+    def nlml_aux_fn(self):
+        return _ep.fitc_nlml_with_sites
 
 
 __all__ = ["Inference", "Exact", "Laplace", "EP",

@@ -118,6 +118,26 @@ def nlml_ops(ops, m, lik, y, ttau0=None, tnu0=None):
     return _energy(ops, m, lik, y, sg(ttau), sg(tnu))
 
 
+def nlml_with_sites_ops(ops, m, lik, y, ttau0, tnu0):
+    """(nlZ, (ttau, tnu)) — energy plus converged sites, for warm-started
+    optimization (the reference's stateful ``last_ttau/last_tnu`` cache,
+    inf.py:~500, threaded functionally through the optimizer loop)."""
+    sg = lax.stop_gradient
+    ttau, tnu, _, _ = _ep_sweeps(_frozen(ops), sg(m), _frozen(lik), sg(y),
+                                 sg(ttau0), sg(tnu0))
+    return _energy(ops, m, lik, y, sg(ttau), sg(tnu)), (sg(ttau), sg(tnu))
+
+
+def nlml_with_sites(mean, kernel, lik, x, y, ttau0, tnu0):
+    ops = DenseOps(kernel.Ktrain(x))
+    return nlml_with_sites_ops(ops, mean(x), lik, y, ttau0, tnu0)
+
+
+def fitc_nlml_with_sites(mean, kernel, lik, x, y, ttau0, tnu0):
+    ops, _ = _fitc_ops(kernel, x)
+    return nlml_with_sites_ops(ops, mean(x), lik, y, ttau0, tnu0)
+
+
 def _alpha_from_sites(ops, m, ttau, tnu):
     """alpha = K̂⁻¹(μ − m) = ν̃ − A(K̂ ν̃ + m)."""
     aux = ops.with_W(ttau)

@@ -39,3 +39,34 @@ def make_objective(inference_fn, mean, kernel, lik, x, y, extra=None):
         return np.asarray(v), np.asarray(g)
 
     return f, np.asarray(theta0), unravel
+
+
+def make_engine_objective(engine, mean, kernel, lik, x, y):
+    """Objective from an engine object; when the engine is stateful
+    (EP sites, ``engine.has_aux``) the aux state is threaded through
+    successive calls — functional equivalent of the reference's
+    ``last_ttau/last_tnu`` warm-start cache on ``inf.EP``."""
+    theta0, unravel = ravel_pytree((mean, kernel, lik))
+
+    if not getattr(engine, "has_aux", False):
+        return make_objective(engine.nlml_fn(), mean, kernel, lik, x, y,
+                              extra=engine.extra())
+
+    aux_fn = engine.nlml_aux_fn()
+    state = {"aux": engine.init_aux(y)}
+
+    def loss(theta, *aux):
+        m, k, l = unravel(theta)
+        return aux_fn(m, k, l, x, y, *aux)
+
+    vg = jax.jit(jax.value_and_grad(loss, has_aux=True))
+
+    def f(theta):
+        (v, aux), g = vg(jnp.asarray(theta, dtype=theta0.dtype),
+                         *state["aux"])
+        if np.all(np.isfinite(np.asarray(v))):
+            state["aux"] = aux
+            engine.update_state(aux)
+        return np.asarray(v), np.asarray(g)
+
+    return f, np.asarray(theta0), unravel

@@ -43,9 +43,11 @@ class Optimizer:
         """Returns (optimal_hyp_vector, best_nlZ). Mirrors
         opt.Optimizer.findMin(x, y, numIters)."""
         model = self.model
-        f, theta0, unravel = make_objective(
-            model._inference_nlml(), model.meanfunc, model.covfunc,
-            model.likfunc, x, y, extra=model._inference_extra(),
+        from pygps_tpu.optimize.objective import make_engine_objective
+
+        f, theta0, unravel = make_engine_objective(
+            model.inffunc, model.meanfunc, model.covfunc,
+            model.likfunc, x, y,
         )
         best_theta, best_val = self._safe_run(f, theta0, numIters)
 
@@ -139,21 +141,36 @@ class _Optax(Optimizer):
         theta0_j = jnp.asarray(theta0)
         mean, kernel, lik = model.meanfunc, model.covfunc, model.likfunc
         _, unravel = fu.ravel_pytree((mean, kernel, lik))
-        nlml_fn = model._inference_nlml()
-        extra = model._inference_extra()
+        engine = model.inffunc
+        has_aux = getattr(engine, "has_aux", False)
         x, y = model.x, model.y
 
-        def loss(t):
-            m, k, l = unravel(t)
-            return nlml_fn(m, k, l, x, y, **extra)
+        if has_aux:
+            aux_fn = engine.nlml_aux_fn()
+
+            def loss_aux(t, aux):
+                m, k, l = unravel(t)
+                return aux_fn(m, k, l, x, y, *aux)
+
+            loss = lambda t: loss_aux(t, engine.init_aux(y))[0]
+        else:
+            nlml_fn = model._inference_nlml()
+            extra = model._inference_extra()
+
+            def loss(t):
+                m, k, l = unravel(t)
+                return nlml_fn(m, k, l, x, y, **extra)
 
         tx = self.make_tx()
-        vg = jax.value_and_grad(loss)
         needs_value = self.needs_value
 
         def step(carry, _):
-            t, opt_state = carry
-            v, g = vg(t)
+            t, opt_state, aux = carry
+            if has_aux:
+                (v, aux), g = jax.value_and_grad(
+                    loss_aux, has_aux=True)(t, aux)
+            else:
+                v, g = jax.value_and_grad(loss)(t)
             g = jnp.where(jnp.isfinite(g), g, 0.0)
             if needs_value:
                 updates, opt_state = tx.update(
@@ -163,14 +180,16 @@ class _Optax(Optimizer):
             t_new = optax.apply_updates(t, updates)
             # reject non-finite steps (keeps parity with restart skipping)
             t_new = jnp.where(jnp.isfinite(t_new), t_new, t)
-            return (t_new, opt_state), v
+            return (t_new, opt_state, aux), v
+
+        aux0 = engine.init_aux(y) if has_aux else ()
 
         @jax.jit
-        def run_loop(t0):
-            return jax.lax.scan(step, (t0, tx.init(t0)), None,
+        def run_loop(t0, aux0):
+            return jax.lax.scan(step, (t0, tx.init(t0), aux0), None,
                                 length=int(num_iters))
 
-        (theta, _), vals = run_loop(theta0_j)
+        (theta, _, _), vals = run_loop(theta0_j, aux0)
         vals = np.asarray(vals)
         # append the final value for "best nlZ at returned point" semantics
         final = float(f(np.asarray(theta))[0])
