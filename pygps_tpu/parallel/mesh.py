@@ -34,6 +34,35 @@ def make_mesh(n_devices: int | None = None, axis: str = "shard",
     return Mesh(np.array(devices), axis_names=(axis,))
 
 
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Multi-host bring-up (SURVEY.md §5.8): wraps
+    ``jax.distributed.initialize`` — call once per host before any other
+    jax use on a pod slice; no-op when the args are absent AND the
+    environment provides no coordination config."""
+    import os
+
+    if (coordinator_address is None and num_processes is None
+            and "COORDINATOR_ADDRESS" not in os.environ
+            and "MEGASCALE_COORDINATOR_ADDRESS" not in os.environ):
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id)
+    return True
+
+
+def make_host_chip_mesh(axis_host: str = "host", axis_chip: str = "chip"):
+    """2-D (host, chip) mesh: DCN across hosts, ICI within a slice — the
+    layout the distributed Cholesky's collectives should ride (psum along
+    ``chip`` stays on ICI).  Falls back to (1, n) on a single host."""
+    devices = jax.devices()
+    n_hosts = max(1, jax.process_count())
+    per_host = len(devices) // n_hosts
+    arr = np.array(devices).reshape(n_hosts, per_host)
+    return Mesh(arr, axis_names=(axis_host, axis_chip))
+
+
 def pad_to_blocks(n: int, b: int, p: int) -> int:
     """Smallest n' ≥ n with n' divisible by b·p (block + device granule)."""
     g = b * p
