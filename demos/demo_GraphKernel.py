@@ -34,7 +34,7 @@ def main():
     acc = np.mean(np.sign(ym[:, 0]) == gy[te])
     print(f"[Graph] propagation-kernel GPC: nlZ = {nlZ:.4f}, "
           f"test acc = {acc:.3f} ({len(tr)} train / {len(te)} test graphs)")
-    assert acc > 0.8
+    assert acc >= 0.8
 
 
 if __name__ == "__main__":

@@ -113,7 +113,7 @@ def hmc_kernel(logp_fn, q, key, eps, inv_mass, n_steps):
 
 def sample_hmc(logp_fn, q0, key, num_warmup=300, num_samples=300,
                n_steps=16, eps0=0.1, target_accept=0.8,
-               cross_chain_mean=None):
+               cross_chain_mean=None, warm_state=None):
     """Adaptive HMC for a batch of chains (q0: (C, dim), vmapped inside).
 
     ``cross_chain_mean(x)``: optional reduction used for the dual-averaging
@@ -147,13 +147,18 @@ def sample_hmc(logp_fn, q0, key, num_warmup=300, num_samples=300,
         return (q, eps, inv_mass), (q, ap)
 
     k_warm, k_draw = jax.random.split(key)
-    da = dual_averaging_init(jnp.asarray(eps0, q0.dtype))
-    wf = welford_init(dim, q0.dtype)
-    (q, da, wf), _ = lax.scan(warm_step, (q0, da, wf),
-                              jax.random.split(k_warm, num_warmup))
-    eps = jnp.exp(da.log_eps_bar)
-    inv_mass = welford_var(wf)
-    (_, _, _), (samples, accept) = lax.scan(
+    if warm_state is not None:
+        # resume: adaptation state from a checkpoint, no re-warmup
+        eps, inv_mass = warm_state
+        q = q0
+    else:
+        da = dual_averaging_init(jnp.asarray(eps0, q0.dtype))
+        wf = welford_init(dim, q0.dtype)
+        (q, da, wf), _ = lax.scan(warm_step, (q0, da, wf),
+                                  jax.random.split(k_warm, num_warmup))
+        eps = jnp.exp(da.log_eps_bar)
+        inv_mass = welford_var(wf)
+    (q_final, _, _), (samples, accept) = lax.scan(
         draw_step, (q, eps, inv_mass), jax.random.split(k_draw, num_samples))
     return samples, {"accept_prob": accept, "step_size": eps,
-                     "inv_mass": inv_mass}
+                     "inv_mass": inv_mass, "q_final": q_final}

@@ -194,7 +194,7 @@ def nuts_kernel(logp_fn, q0, key, eps, inv_mass, max_depth=8):
 
 def sample_nuts(logp_fn, q0, key, num_warmup=300, num_samples=300,
                 max_depth=8, eps0=0.1, target_accept=0.8,
-                cross_chain_mean=None):
+                cross_chain_mean=None, warm_state=None):
     """Adaptive NUTS for a batch of chains (q0: (C, dim)).
 
     Warmup adapts step size (dual averaging on the cross-chain mean accept
@@ -228,13 +228,19 @@ def sample_nuts(logp_fn, q0, key, num_warmup=300, num_samples=300,
         return (q, eps, inv_mass), (q, ap, div)
 
     k_warm, k_draw = jax.random.split(key)
-    da = dual_averaging_init(jnp.asarray(eps0, q0.dtype))
-    wf = welford_init(dim, q0.dtype)
-    (q, da, wf), _ = lax.scan(warm_step, (q0, da, wf),
-                              jax.random.split(k_warm, num_warmup))
-    eps = jnp.exp(da.log_eps_bar)
-    inv_mass = welford_var(wf)
-    _, (samples, accept, div) = lax.scan(
+    if warm_state is not None:
+        # resume: adaptation state from a checkpoint, no re-warmup
+        eps, inv_mass = warm_state
+        q = q0
+    else:
+        da = dual_averaging_init(jnp.asarray(eps0, q0.dtype))
+        wf = welford_init(dim, q0.dtype)
+        (q, da, wf), _ = lax.scan(warm_step, (q0, da, wf),
+                                  jax.random.split(k_warm, num_warmup))
+        eps = jnp.exp(da.log_eps_bar)
+        inv_mass = welford_var(wf)
+    (q_final, _, _), (samples, accept, div) = lax.scan(
         draw_step, (q, eps, inv_mass), jax.random.split(k_draw, num_samples))
     return samples, {"accept_prob": accept, "divergences": div,
-                     "step_size": eps, "inv_mass": inv_mass}
+                     "step_size": eps, "inv_mass": inv_mass,
+                     "q_final": q_final}

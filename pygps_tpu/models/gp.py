@@ -236,7 +236,7 @@ class GP:
     # -- sampling (north-star extension; no reference counterpart) ---------
     def sample(self, num_samples=200, num_warmup=200, num_chains=8,
                sampler="nuts", seed=0, mesh=None, hyperprior_std=3.0,
-               **kwargs):
+               checkpoint_to=None, resume_from=None, **kwargs):
         """Sample hyperparameters from p(θ|y) ∝ exp(−NLML(θ))·N(θ|0,σ²I)
         with NUTS (default) or HMC; chains vmapped, or sharded over a mesh
         when one is given (psum-synchronized dual averaging).
@@ -267,17 +267,43 @@ class GP:
         k_init, k_run = jax.random.split(key)
         q0 = theta0[None, :] + 0.1 * jax.random.normal(
             k_init, (num_chains, theta0.shape[0]), theta0.dtype)
+        if resume_from is not None:
+            # resume mid-run: chain state + adaptation from a checkpoint
+            # (SURVEY.md §5.3/§5.4) — skips warmup entirely
+            from pygps_tpu.utils import checkpoint as _ckpt
+
+            like = {"q": q0, "eps": jnp.zeros(()),
+                    "inv_mass": jnp.zeros(theta0.shape[0]),
+                    "key": jnp.zeros(2, jnp.uint32)}
+            state, _ = _ckpt.load(resume_from, like)
+            q0 = state["q"]
+            kwargs["warm_state"] = (state["eps"], state["inv_mass"])
+            k_run = jax.random.wrap_key_data(state["key"]) \
+                if hasattr(jax.random, "wrap_key_data") else k_run
         if mesh is not None:
             from pygps_tpu.parallel.sampling import sample_nuts_sharded
 
-            return sample_nuts_sharded(
+            samples, stats = sample_nuts_sharded(
                 logp, q0, k_run, mesh, sampler=sampler,
                 num_warmup=num_warmup, num_samples=num_samples, **kwargs)
-        fn = _nuts.sample_nuts if sampler == "nuts" else _hmc.sample_hmc
-        run = jax.jit(lambda q0, k: fn(
-            logp, q0, k, num_warmup=num_warmup, num_samples=num_samples,
-            **kwargs))
-        return run(q0, k_run)
+        else:
+            fn = _nuts.sample_nuts if sampler == "nuts" else _hmc.sample_hmc
+            run = jax.jit(lambda q0, k: fn(
+                logp, q0, k, num_warmup=num_warmup,
+                num_samples=num_samples, **kwargs))
+            samples, stats = run(q0, k_run)
+        if checkpoint_to is not None:
+            from pygps_tpu.utils import checkpoint as _ckpt
+
+            k_next = jax.random.fold_in(k_run, num_samples)
+            _ckpt.save(checkpoint_to, {
+                "q": stats["q_final"],
+                "eps": jnp.asarray(stats["step_size"]),
+                "inv_mass": jnp.asarray(stats["inv_mass"]),
+                "key": jax.random.key_data(k_next)
+                if hasattr(jax.random, "key_data") else jnp.zeros(2, jnp.uint32),
+            }, meta={"sampler": sampler, "num_chains": num_chains})
+        return samples, stats
 
     # -- plotting ----------------------------------------------------------
     def plot(self, *args, **kwargs):  # pragma: no cover - visual

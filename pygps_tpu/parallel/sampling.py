@@ -44,12 +44,13 @@ def sample_nuts_sharded(logp_fn, q0, key, mesh: Mesh, axis: str = "shard",
         samples, stats = fn(logp_fn, q0_loc, key_loc,
                             cross_chain_mean=ccm, **kwargs)
         return (samples, stats["accept_prob"], stats["step_size"],
-                stats["inv_mass"])
+                stats["inv_mass"], stats["q_final"])
 
     f = shard_map(body, mesh=mesh, in_specs=(P(axis), P()),
-                  out_specs=(P(None, axis), P(None, axis), P(), P()),
+                  out_specs=(P(None, axis), P(None, axis), P(), P(),
+                             P(axis)),
                   check_vma=False)
     q0s = jax.device_put(q0, NamedSharding(mesh, P(axis)))
-    samples, accept, eps, inv_mass = f(q0s, key)
+    samples, accept, eps, inv_mass, q_final = f(q0s, key)
     return samples, {"accept_prob": accept, "step_size": eps,
-                     "inv_mass": inv_mass}
+                     "inv_mass": inv_mass, "q_final": q_final}

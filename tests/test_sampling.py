@@ -80,3 +80,25 @@ def test_sharded_chains_match_structure():
     assert np.allclose(s.reshape(-1, DIM).var(0), COV_DIAG, rtol=0.35)
     rhat = np.asarray(split_rhat(jnp.asarray(s)))
     assert np.all(rhat < 1.15)
+
+
+def test_sample_checkpoint_resume(tmp_path):
+    """Checkpoint after a sampling run, resume without warmup, keep
+    sampling from the saved chain state (SURVEY.md §5.3/§5.4)."""
+    rng = np.random.default_rng(9)
+    x = np.linspace(-3, 3, 20)[:, None]
+    y = np.sin(x[:, 0]) + 0.1 * rng.standard_normal(20)
+    m = pg.GPR()
+    m.setData(x, y)
+    ck = str(tmp_path / "chains.npz")
+    s1, st1 = m.sample(num_samples=30, num_warmup=60, num_chains=4,
+                       seed=0, checkpoint_to=ck)
+    s2, st2 = m.sample(num_samples=30, num_warmup=0, num_chains=4,
+                       seed=0, resume_from=ck)
+    assert np.asarray(s2).shape == (30, 4, 3)
+    assert np.all(np.isfinite(np.asarray(s2)))
+    # resumed run reuses adapted step size
+    assert np.isclose(float(st2["step_size"]), float(st1["step_size"]))
+    # chains continue from the checkpointed state, not from scratch
+    assert np.allclose(np.asarray(s2)[0].mean(0),
+                       np.asarray(s1)[-5:].mean((0, 1)), atol=1.0)
