@@ -50,12 +50,24 @@ def _local_gidx(p, m, axis):
 # ---------------------------------------------------------------------------
 
 
-def _pchol_local(A, *, p, m, b, n, axis):
-    """Kernel body: A is the local (m, b, n) slab; returns local L slab."""
+def _pchol_local(A, *, p, m, b, n, axis, n_col_chunks=16):
+    """Kernel body: A is the local (m, b, n) slab; returns local L slab.
+
+    The trailing update is split into ``n_col_chunks`` static column
+    chunks; a chunk entirely left of the active panel is skipped via
+    ``lax.cond`` (real TPU branch), cutting the full-width n³/(2p) update
+    cost toward the n³/(3p) ideal while keeping all shapes static.
+    """
     gidx = _local_gidx(p, m, axis)
     d = lax.axis_index(axis)
     nb = m * p
     col_block = jnp.arange(n) // b        # (n,) block index of each column
+
+    # chunk width: multiple of b, dividing n
+    cw = max(b, (n // n_col_chunks) // b * b)
+    while n % cw != 0:
+        cw -= b
+    nchunks = n // cw
 
     def panel(k, A):
         owner = k % p
@@ -82,10 +94,23 @@ def _pchol_local(A, *, p, m, b, n, axis):
         P_dense = jnp.swapaxes(P_all, 0, 1).reshape(n, b)
         # column-side mask: only blocks > k receive updates
         P_cols = jnp.where((col_block > k)[:, None], P_dense, 0.0)
-        # 4. trailing update
+        # 4. trailing update, chunked: chunk c covers cols [c·cw, (c+1)·cw)
+        #    and needs work only if it extends past the panel end
         L_rows = jnp.where(after, L_pan, 0.0)          # (m, b, b)
-        A = A - jnp.einsum("mrc,nc->mrn", L_rows, P_cols,
-                           preferred_element_type=A.dtype)
+        for c in range(nchunks):
+            start = c * cw
+            Pc = P_cols[start:start + cw]              # (cw, b) static slice
+            needed = (start + cw) > (cs + b)
+
+            def upd(ops):
+                Lr, Pcc = ops
+                return jnp.einsum("mrc,nc->mrn", Lr, Pcc,
+                                  preferred_element_type=A.dtype)
+
+            delta = lax.cond(needed, upd,
+                             lambda ops: jnp.zeros((m, b, cw), A.dtype),
+                             (L_rows, Pc))
+            A = A.at[:, :, start:start + cw].add(-delta)
         return A
 
     return lax.fori_loop(0, nb, panel, A)
