@@ -152,3 +152,22 @@ def test_distributed_full_predictive_matches_dense(msh):
     assert np.allclose(np.asarray(fm), fm_r[:, 0], atol=1e-9)
     assert np.allclose(np.asarray(fs2), fs2_r[:, 0], atol=1e-9)
     assert np.allclose(np.asarray(ys2), ys2_r[:, 0], atol=1e-9)
+
+
+def test_pcholesky_on_2d_host_chip_mesh(spd):
+    """Multi-host layout (SURVEY.md §5.8): the same distributed Cholesky
+    runs over a 2-D (host, chip) mesh with a tuple axis — psum/all_gather
+    ride ICI within a slice and DCN across hosts on real pods."""
+    from jax.sharding import Mesh, NamedSharding
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    msh2 = Mesh(devs, axis_names=("host", "chip"))
+    A = jnp.asarray(spd)
+    Abc = pmesh.to_block_cyclic(A, B, 8)
+    Abc = jax.device_put(Abc, NamedSharding(msh2, P(("host", "chip"))))
+    L = pcholesky(Abc, msh2, axis=("host", "chip"))
+    assert np.allclose(np.asarray(pmesh.from_block_cyclic(L)),
+                       np.linalg.cholesky(spd), atol=1e-10)
+    r = np.random.default_rng(7).standard_normal(N)
+    x = psolve_chol(L, jnp.asarray(r), msh2, axis=("host", "chip"))
+    assert np.allclose(np.asarray(x), np.linalg.solve(spd, r), atol=1e-10)
