@@ -74,8 +74,13 @@ def _energy(ops, m, lik, y, ttau, tnu):
 
 
 def _ep_sweeps(ops, m, lik, y, ttau0, tnu0):
+    """Damped parallel sweeps with *adaptive* damping: a sweep that
+    worsens the energy is rejected and the damping halves (the reference's
+    "fall back to last good sites on divergence" guard, inf.py:~650
+    verify-tagged); successful sweeps relax the damping back up."""
+
     def sweep(carry):
-        ttau, tnu, nlZ_old, dn, it = carry
+        ttau, tnu, nlZ_old, dn, it, damp = carry
         sig, mu, _ = _moments_from_sites(ops, m, ttau, tnu)
         tau_n = jnp.maximum(1.0 / sig - ttau, 1e-10)   # cavity precision
         nu_n = mu / sig - tnu
@@ -86,19 +91,30 @@ def _ep_sweeps(ops, m, lik, y, ttau0, tnu0):
         denom = jnp.where(jnp.abs(denom) < 1e-10, 1e-10, denom)
         ttau_new = jnp.maximum(-d2lZ / denom, 0.0)
         tnu_new = (dlZ - m0 * d2lZ) / denom
-        ttau = (1.0 - _DAMP) * ttau + _DAMP * ttau_new
-        tnu = (1.0 - _DAMP) * tnu + _DAMP * tnu_new
-        nlZ = _energy(ops, m, lik, y, ttau, tnu)
-        return ttau, tnu, nlZ, jnp.abs(nlZ - nlZ_old), it + 1
+        ttau_prop = (1.0 - damp) * ttau + damp * ttau_new
+        tnu_prop = (1.0 - damp) * tnu + damp * tnu_new
+        nlZ_prop = _energy(ops, m, lik, y, ttau_prop, tnu_prop)
+        worse = jnp.logical_and(jnp.isfinite(nlZ_old),
+                                ~(nlZ_prop < nlZ_old + 0.1))
+        worse = jnp.logical_or(worse, ~jnp.isfinite(nlZ_prop))
+        ttau = jnp.where(worse, ttau, ttau_prop)
+        tnu = jnp.where(worse, tnu, tnu_prop)
+        nlZ = jnp.where(worse, nlZ_old, nlZ_prop)
+        dn_new = jnp.where(worse, jnp.asarray(jnp.inf, m.dtype),
+                           jnp.abs(nlZ_prop - nlZ_old))
+        damp = jnp.where(worse, jnp.maximum(damp * 0.5, 0.05),
+                         jnp.minimum(damp * 1.1, _DAMP))
+        return ttau, tnu, nlZ, dn_new, it + 1, damp
 
     def cond(carry):
-        _, _, nlZ, dn, it = carry
+        _, _, nlZ, dn, it, _ = carry
         not_converged = jnp.logical_or(dn > _TOL, it < _MIN_SWEEPS)
         return jnp.logical_and(not_converged, it < _MAX_SWEEPS)
 
     init = (ttau0, tnu0, jnp.asarray(jnp.inf, m.dtype),
-            jnp.asarray(jnp.inf, m.dtype), 0)
-    ttau, tnu, nlZ, _, it = lax.while_loop(cond, sweep, init)
+            jnp.asarray(jnp.inf, m.dtype), 0,
+            jnp.asarray(_DAMP, m.dtype))
+    ttau, tnu, nlZ, _, it, _ = lax.while_loop(cond, sweep, init)
     return ttau, tnu, nlZ, it
 
 
