@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--devices", type=int, default=None)
     ap.add_argument("--cpu-mesh", action="store_true",
                     help="force 8 virtual CPU devices")
+    ap.add_argument("--sweep", action="store_true",
+                    help="device-count sweep: report scaling efficiency "
+                         "(wall-clock_1 / (p * wall-clock_p)) per op")
     args = ap.parse_args()
 
     import os
@@ -50,6 +53,10 @@ def main():
     from pygps_tpu.parallel.exact import DistributedExact
     from pygps_tpu.parallel.pcholesky import pcholesky, psolve_chol
     from pygps_tpu.parallel.ring_gram import gram_bc
+
+    if args.sweep:
+        _sweep(args)
+        return
 
     ndev = args.devices or len(jax.devices())
     mesh = pmesh.make_mesh(ndev)
@@ -92,6 +99,43 @@ def main():
     vgrad = jax.jit(jax.value_and_grad(
         lambda k: eng.nlml(mean, k, lik, x, y)))
     timed("nlml_grad_s", vgrad, kern, reps=2)
+
+
+def _sweep(args):
+    """Scaling-efficiency sweep over device counts (north-star metric:
+    efficiency ≥ 0.8 at ≥2 hosts; on real hardware run once per slice
+    size).  eff_p = t_1 / (p · t_p) for the distributed Cholesky."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import pygps_tpu as pg
+    from pygps_tpu.parallel import mesh as pmesh
+    from pygps_tpu.parallel.pcholesky import pcholesky
+
+    total = len(jax.devices())
+    counts = [p for p in (1, 2, 4, 8, 16, 32) if p <= total]
+    n = pmesh.pad_to_blocks(args.n, args.block, max(counts))
+    rng = np.random.default_rng(0)
+    W = rng.standard_normal((n, 256))
+    A = jnp.asarray(W @ W.T + n * np.eye(n))
+    t_by_p = {}
+    for p in counts:
+        mesh = pmesh.make_mesh(p)
+        Abc = pmesh.shard_bc(pmesh.to_block_cyclic(A, args.block, p), mesh)
+        f = jax.jit(lambda K: pcholesky(K, mesh))
+        out = f(Abc)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = f(Abc)
+        jax.block_until_ready(out)
+        t_by_p[p] = (time.perf_counter() - t0) / 3
+    for p in counts:
+        eff = t_by_p[counts[0]] / (p / counts[0]) / t_by_p[p]
+        print(json.dumps({"metric": f"dist_chol_scaling_p{p}",
+                          "wall_s": round(t_by_p[p], 4),
+                          "efficiency": round(eff, 3)}))
 
 
 if __name__ == "__main__":
