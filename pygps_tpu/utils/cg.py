@@ -1,0 +1,103 @@
+"""Batched conjugate-gradient linear solver and Lanczos tridiagonalization.
+
+Matrix-free building blocks for the iterative exact-GP path
+(inference/iterative.py, BBMM-style per the GPyTorch/"million points"
+literature): only matvecs with K̃ are needed, so n is bounded by O(n²)
+matvec cost (or O(n²/p) with a sharded matvec), not by Cholesky memory.
+
+jit-native: fixed max iterations with convergence masking
+(``lax.while_loop``), batched RHS solved simultaneously (MXU-friendly —
+the matvec batches into one matmul).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def cg_solve(matvec: Callable, B: jax.Array, tol: float = 1e-8,
+             max_iters: int = 256, M_inv_diag=None):
+    """Solve A X = B for SPD A given ``matvec(X) -> A X`` on (n, k) blocks.
+
+    Jacobi-preconditioned when ``M_inv_diag`` (n,) is given.  Returns
+    (X, iters, resnorm)."""
+    n, k = B.shape
+
+    def precond(R):
+        return R if M_inv_diag is None else M_inv_diag[:, None] * R
+
+    X0 = jnp.zeros_like(B)
+    R0 = B
+    Z0 = precond(R0)
+    P0 = Z0
+    rz0 = jnp.sum(R0 * Z0, axis=0)
+    b_norm = jnp.maximum(jnp.linalg.norm(B, axis=0), 1e-30)
+
+    def cond(state):
+        X, R, P, rz, it = state
+        res = jnp.linalg.norm(R, axis=0) / b_norm
+        return jnp.logical_and(jnp.max(res) > tol, it < max_iters)
+
+    def body(state):
+        X, R, P, rz, it = state
+        AP = matvec(P)
+        pAp = jnp.sum(P * AP, axis=0)
+        alpha = rz / jnp.where(pAp <= 0, 1e-30, pAp)
+        X = X + alpha[None, :] * P
+        R = R - alpha[None, :] * AP
+        Z = precond(R)
+        rz_new = jnp.sum(R * Z, axis=0)
+        beta = rz_new / jnp.where(rz <= 0, 1e-30, rz)
+        P = Z + beta[None, :] * P
+        return X, R, P, rz_new, it + 1
+
+    X, R, _, _, it = lax.while_loop(cond, body, (X0, R0, P0, rz0, 0))
+    res = jnp.max(jnp.linalg.norm(R, axis=0) / b_norm)
+    return X, it, res
+
+
+def lanczos(matvec: Callable, z: jax.Array, m: int):
+    """m-step Lanczos for one probe vector z (n,): returns (alphas (m,),
+    betas (m-1,)) of the tridiagonal T with T ≈ Qᵀ A Q.
+
+    Fixed iteration count (jit-static); no reorthogonalization (standard
+    for SLQ with modest m)."""
+    n = z.shape[0]
+    q = z / jnp.linalg.norm(z)
+
+    def body(carry, _):
+        q_prev, q_curr, beta_prev = carry
+        v = matvec(q_curr[:, None])[:, 0] - beta_prev * q_prev
+        alpha = jnp.dot(q_curr, v)
+        v = v - alpha * q_curr
+        beta = jnp.linalg.norm(v)
+        q_next = v / jnp.where(beta < 1e-30, 1.0, beta)
+        return (q_curr, q_next, beta), (alpha, beta)
+
+    (_, _, _), (alphas, betas) = lax.scan(
+        body, (jnp.zeros_like(q), q, jnp.asarray(0.0, z.dtype)), None,
+        length=m)
+    return alphas, betas[:-1]
+
+
+def slq_logdet(matvec: Callable, n: int, key, num_probes: int = 16,
+               lanczos_iters: int = 25, dtype=jnp.float64):
+    """Stochastic Lanczos quadrature estimate of log det A (A SPD, n×n).
+
+    tr(log A) ≈ (n/P) Σ_p e₁ᵀ log(T_p) e₁ with Rademacher probes
+    (‖z‖² = n)."""
+    probes = jax.random.rademacher(key, (num_probes, n), dtype=dtype)
+
+    def one(z):
+        alphas, betas = lanczos(matvec, z, lanczos_iters)
+        T = (jnp.diag(alphas) + jnp.diag(betas, 1) + jnp.diag(betas, -1))
+        w, U = jnp.linalg.eigh(T)
+        w = jnp.maximum(w, 1e-30)
+        return jnp.sum(U[0, :] ** 2 * jnp.log(w))
+
+    vals = jax.vmap(one)(probes)
+    return n * jnp.mean(vals)

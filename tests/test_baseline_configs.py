@@ -63,6 +63,7 @@ def test_config2_laplace_gpc_composite():
     m = pg.GPC()
     m.useInference("Laplace")
     m.setPrior(kernel=pg.cov.RBF() + pg.cov.Linear())
+    m.setOptimizer("CG")            # configs[2]: "CG-based solves"
     m.setData(x, y)
     nlZ0, dnlZ, _ = m.getPosterior()
     assert len(dnlZ.cov) == 3
