@@ -113,13 +113,27 @@ class Exact(Inference):
 
 
 class Laplace(Inference):
-    """Reference inf.Laplace."""
+    """Reference inf.Laplace (warm-started Newton via aux threading,
+    mirroring the reference's last_alpha cache)."""
+
+    has_aux = True
 
     def _evaluate(self, mean, kernel, lik, x, y):
         return _laplace.evaluate(mean, kernel, lik, x, y)
 
     def _nlml(self):
         return _laplace.nlml
+
+    def nlml_aux_fn(self):
+        def fn(mean, kernel, lik, x, y, a0):
+            return _laplace.nlml_with_state(mean, kernel, lik, x, y, a0)
+        return fn
+
+    def init_aux(self, y):
+        return (jnp.zeros(np.shape(y)[0], dtype=config.default_dtype()),)
+
+    def update_state(self, aux):
+        pass
 
 
 class EP(Inference):
@@ -175,14 +189,19 @@ class FITC_Exact(Inference):
         return _fitc.exact_nlml
 
 
-class FITC_Laplace(Inference):
-    """Reference inf.FITC_Laplace (dense-prior fallback, see fitc.py)."""
+class FITC_Laplace(Laplace):
+    """Reference inf.FITC_Laplace (structured O(n·m²), see fitc.py)."""
 
     def _evaluate(self, mean, kernel, lik, x, y):
         return _fitc.laplace_evaluate(mean, kernel, lik, x, y)
 
     def _nlml(self):
         return _fitc.laplace_nlml
+
+    def nlml_aux_fn(self):
+        def fn(mean, kernel, lik, x, y, a0):
+            return _laplace.fitc_nlml_with_state(mean, kernel, lik, x, y, a0)
+        return fn
 
 
 class FITC_EP(EP):

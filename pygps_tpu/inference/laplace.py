@@ -134,6 +134,35 @@ def nlml_ops(m, ops, lik, y):
     return _nlz_at_mode(m, ops, lik, y, f)[0]
 
 
+@jax.custom_vjp
+def _mode_warm(m, ops, lik, y, a0):
+    """Mode with a warm-started Newton iteration (reference caches
+    ``last_alpha`` on inf.Laplace, inf.py:~260 verify-tagged)."""
+    a = _newton_mode(ops, m, lik, y, lax.stop_gradient(a0))
+    return ops.matvec(a) + m
+
+
+def _mode_warm_fwd(m, ops, lik, y, a0):
+    f = _mode_warm(m, ops, lik, y, a0)
+    return f, (m, ops, lik, y, f)
+
+
+def _mode_warm_bwd(res, v):
+    dm, dops, dlik, dy = _mode_bwd(res, v)
+    return dm, dops, dlik, dy, jnp.zeros_like(res[3])
+
+
+_mode_warm.defvjp(_mode_warm_fwd, _mode_warm_bwd)
+
+
+def nlml_with_state_ops(m, ops, lik, y, a0):
+    """(nlZ, a_new): warm-startable Laplace NLML (aux-threaded by the
+    optimizer exactly like EP sites)."""
+    f = _mode_warm(m, ops, lik, y, a0)
+    nlZ, (a, _, _) = _nlz_at_mode(m, ops, lik, y, f)
+    return nlZ, (lax.stop_gradient(a),)
+
+
 # ---------------------------------------------------------------------------
 # Dense entry points (reference inf.Laplace)
 # ---------------------------------------------------------------------------
@@ -207,3 +236,13 @@ def fitc_evaluate(mean, kernel, lik, x, y):
     nlZ, (a, sW, aux) = _nlz_at_mode(m, ops, lik, y, f)
     post = inducing_posterior(ops, Luu, m, a, sW * sW)
     return post, nlZ
+
+
+def nlml_with_state(mean, kernel, lik, x, y, a0):
+    ops = DenseOps(kernel.Ktrain(x))
+    return nlml_with_state_ops(mean(x), ops, lik, y, a0)
+
+
+def fitc_nlml_with_state(mean, kernel, lik, x, y, a0):
+    ops, _ = _fitc_ops(kernel, x)
+    return nlml_with_state_ops(mean(x), ops, lik, y, a0)

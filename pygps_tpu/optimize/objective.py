@@ -65,8 +65,8 @@ def make_engine_objective(engine, mean, kernel, lik, x, y):
         (v, aux), g = vg(jnp.asarray(theta, dtype=theta0.dtype),
                          *state["aux"])
         if np.all(np.isfinite(np.asarray(v))):
-            state["aux"] = aux
-            engine.update_state(aux)
+            state["aux"] = aux if isinstance(aux, tuple) else (aux,)
+            engine.update_state(state["aux"])
         return np.asarray(v), np.asarray(g)
 
     return f, np.asarray(theta0), unravel
