@@ -74,4 +74,21 @@ def predict_latent(post: Posterior, Ks: jax.Array, kss: jax.Array,
     return fmu, jnp.maximum(fs2, 0.0)
 
 
-__all__ = ["Posterior", "predict_latent"]
+def predict_latent_full(post: Posterior, Ks: jax.Array, Kss: jax.Array,
+                        ms: jax.Array):
+    """Latent predictive with the FULL (ns, ns) covariance.
+
+    Extension beyond the reference (which only returns marginal
+    variances): Σ* = K** − Vᵀ V (triangular branch) or
+    K** + Ksᵀ L Ks (explicit-matrix branch).  Enables joint posterior
+    function draws."""
+    fmu = ms + Ks.T @ post.alpha
+    if post.is_tril:
+        V = solve_tril(post.L, post.sW[:, None] * Ks)
+        Sig = Kss - V.T @ V
+    else:
+        Sig = Kss + Ks.T @ (post.L @ Ks)
+    return fmu, 0.5 * (Sig + Sig.T)
+
+
+__all__ = ["Posterior", "predict_latent", "predict_latent_full"]

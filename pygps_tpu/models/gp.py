@@ -233,6 +233,36 @@ class GP:
         self.lp = None if lp is None else np.asarray(lp)[:, None]
         return self.ym, self.ys2, self.fm, self.fs2, self.lp
 
+    def predict_full(self, xs):
+        """(fmu, Sigma) — latent predictive mean and FULL joint covariance
+        at xs (extension; the reference returns marginals only)."""
+        from pygps_tpu.core.posteriors import predict_latent_full
+
+        if self.posterior is None:
+            self.getPosterior(der=False)
+        xs = _as_2d(xs)
+
+        def run(meanf, covf, likf, post, x, xs):
+            Ks = covf.K(x, xs)
+            Kss = covf.Ktrain(xs)
+            return predict_latent_full(post, Ks, Kss, meanf(xs))
+
+        fmu, Sig = jax.jit(run)(self.meanfunc, self.covfunc, self.likfunc,
+                                self.posterior, self.x, xs)
+        return np.asarray(fmu), np.asarray(Sig)
+
+    def posterior_samples(self, xs, n_samples=10, seed=0):
+        """Joint posterior function draws f* ~ N(fmu, Sigma) at xs."""
+        from pygps_tpu.utils.tools import safe_cholesky
+
+        fmu, Sig = self.predict_full(xs)
+        fmu_j, Sig_j = jnp.asarray(fmu), jnp.asarray(Sig)
+        L, _ = safe_cholesky(Sig_j + 1e-10 * jnp.eye(Sig_j.shape[0],
+                                                     dtype=Sig_j.dtype))
+        z = jax.random.normal(jax.random.PRNGKey(seed),
+                              (Sig_j.shape[0], n_samples), Sig_j.dtype)
+        return np.asarray(fmu_j[:, None] + L @ z).T    # (n_samples, ns)
+
     # -- sampling (north-star extension; no reference counterpart) ---------
     def sample(self, num_samples=200, num_warmup=200, num_chains=8,
                sampler="nuts", seed=0, mesh=None, hyperprior_std=3.0,

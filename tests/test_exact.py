@@ -158,3 +158,21 @@ def test_laplace_grad_matches_fd():
         e = jnp.zeros_like(theta).at[i].set(eps)
         fd = (f(theta + e) - f(theta - e)) / (2 * eps)
         assert np.isclose(float(g[i]), float(fd), rtol=2e-4, atol=1e-7), i
+
+
+def test_predict_full_and_posterior_samples():
+    x = np.linspace(-3, 3, 25)[:, None]
+    y = np.sin(x[:, 0])
+    m = pg.GPR()
+    m.setData(x, y)
+    xs = np.linspace(-3, 3, 9)[:, None]
+    fmu, Sig = m.predict_full(xs)
+    # diagonal of the full covariance == marginal variances from predict
+    _, _, fm, fs2, _ = m.predict(xs)
+    assert np.allclose(fmu, fm[:, 0], atol=1e-10)
+    assert np.allclose(np.diag(Sig), fs2[:, 0], atol=1e-8)
+    w = np.linalg.eigvalsh(Sig)
+    assert w.min() > -1e-8
+    draws = m.posterior_samples(xs, n_samples=500, seed=1)
+    assert draws.shape == (500, 9)
+    assert np.allclose(draws.mean(0), fmu, atol=0.2)
