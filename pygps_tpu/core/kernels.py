@@ -33,7 +33,6 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax import tree_util
 
 from pygps_tpu import config
 from pygps_tpu.core.functor import Functor, register, _p

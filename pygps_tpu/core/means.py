@@ -9,8 +9,6 @@ pytree leaves; a compat shim is provided.
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 

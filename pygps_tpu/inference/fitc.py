@@ -19,7 +19,6 @@ config.FITC_JITTER_REL).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from pygps_tpu import config

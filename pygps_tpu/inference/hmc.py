@@ -16,7 +16,6 @@ divergences, no data-dependent Python control flow.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

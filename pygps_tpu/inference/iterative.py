@@ -23,8 +23,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax import lax
-
 from pygps_tpu.utils.cg import cg_solve, slq_logdet
 
 _DEFAULTS = dict(num_probes=16, lanczos_iters=25, cg_tol=1e-6,

@@ -29,7 +29,7 @@ from pygps_tpu import config
 from pygps_tpu.core import kernels as cov
 from pygps_tpu.core import likelihoods as lik
 from pygps_tpu.core import means as mean
-from pygps_tpu.core.posteriors import Posterior, predict_latent
+from pygps_tpu.core.posteriors import predict_latent
 from pygps_tpu.inference import engines
 from pygps_tpu.optimize import conf as _conf
 from pygps_tpu.optimize import optimizers as opt

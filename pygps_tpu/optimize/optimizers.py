@@ -18,11 +18,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
-from jax.flatten_util import ravel_pytree
 
 from pygps_tpu.optimize import minimize as _minimize
 from pygps_tpu.optimize import scg as _scg
-from pygps_tpu.optimize.objective import make_objective
 
 
 class Optimizer:

@@ -22,8 +22,6 @@ calculus only where structurally necessary, autodiff everywhere else.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax, shard_map

@@ -31,8 +31,6 @@ panel rows with all_gather.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax

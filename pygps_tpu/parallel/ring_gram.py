@@ -16,8 +16,6 @@ sharded (SURVEY.md §5.7).  Two constructions:
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax, shard_map

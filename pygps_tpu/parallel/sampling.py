@@ -9,8 +9,6 @@ and chains stay exchangeable.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax, shard_map
