@@ -1,0 +1,72 @@
+"""Frozen-value regression goldens.
+
+These values were produced by this implementation (float64, fixed seeds)
+after it was validated against first-principles references (closed-form
+NLML, FD gradients, EP/Laplace==Exact degeneracies).  They pin the
+numerics across future refactors/rounds: any drift beyond float tolerance
+means behavior changed.  Regenerate deliberately with
+tests/goldens/regen.py if a change is intentional.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import pygps_tpu as pg
+from pygps_tpu.core import kernels as cov
+from pygps_tpu.inference import ep, exact, fitc, laplace
+
+GOLD = json.load(open(Path(__file__).parent / "goldens" / "goldens_v1.json"))
+
+rng = np.random.default_rng(42)
+X = jnp.asarray(np.sort(rng.uniform(-3, 3, 24))[:, None])
+Y = jnp.asarray(np.sin(2 * np.asarray(X)[:, 0])
+                + 0.1 * rng.standard_normal(24))
+X2 = jnp.asarray(rng.standard_normal((20, 2)))
+Y2C = jnp.sign(jnp.asarray(rng.standard_normal(20)))
+MEAN, LIK = pg.mean.Zero(), pg.lik.Gauss(-1.0)
+ERF = pg.lik.Erf()
+
+
+def test_exact_goldens():
+    kmap = {
+        "rbf": pg.cov.RBF(0.3, 0.2),
+        "matern5": pg.cov.Matern(0.3, 0.2, d=5),
+        "rq": pg.cov.RQ(0.3, 0.2, 0.1),
+        "sum_rbf_lin": pg.cov.RBF(0.3, 0.2) + pg.cov.Linear(-0.5),
+        "periodic": pg.cov.Periodic(0.1, 0.5, 0.0),
+    }
+    for name, k in kmap.items():
+        got = float(exact.nlml(MEAN, k, LIK, X, Y))
+        assert np.isclose(got, GOLD[f"exact_nlml_{name}"], rtol=1e-10), name
+
+
+def test_classification_goldens():
+    k = pg.cov.RBF(0.4, 0.3)
+    assert np.isclose(float(laplace.nlml(MEAN, k, ERF, X2, Y2C)),
+                      GOLD["laplace_nlml_erf"], rtol=1e-8)
+    assert np.isclose(float(ep.nlml(MEAN, k, ERF, X2, Y2C)),
+                      GOLD["ep_nlml_erf"], rtol=1e-6)
+
+
+def test_fitc_goldens():
+    kf = cov.FITC(pg.cov.RBF(0.3, 0.2), X[::4])
+    assert np.isclose(float(fitc.exact_nlml(MEAN, kf, LIK, X, Y)),
+                      GOLD["fitc_exact_nlml"], rtol=1e-10)
+    kf2 = cov.FITC(pg.cov.RBF(0.4, 0.3), X2[::4])
+    assert np.isclose(float(fitc.laplace_nlml(MEAN, kf2, ERF, X2, Y2C)),
+                      GOLD["fitc_laplace_nlml"], rtol=1e-8)
+    assert np.isclose(float(fitc.ep_nlml(MEAN, kf2, ERF, X2, Y2C)),
+                      GOLD["fitc_ep_nlml"], rtol=1e-6)
+
+
+def test_gradient_golden():
+    from jax.flatten_util import ravel_pytree
+
+    theta, unravel = ravel_pytree((MEAN, pg.cov.RBF(0.3, 0.2), LIK))
+    grad = jax.grad(lambda t: exact.nlml(*unravel(t), X, Y))(theta)
+    assert np.allclose(np.asarray(grad), GOLD["exact_grad_rbf"], rtol=1e-9)
