@@ -171,3 +171,31 @@ def test_pcholesky_on_2d_host_chip_mesh(spd):
     r = np.random.default_rng(7).standard_normal(N)
     x = psolve_chol(L, jnp.asarray(r), msh2, axis=("host", "chip"))
     assert np.allclose(np.asarray(x), np.linalg.solve(spd, r), atol=1e-10)
+
+
+def test_distgpr_model(msh):
+    """DistGPR end-to-end: optimize + predict via the distributed engine,
+    matching a dense GPR on the same (padded-divisible) data."""
+    from pygps_tpu.models.dist import DistGPR
+
+    rng = np.random.default_rng(8)
+    x = np.linspace(-3, 3, N)[:, None]
+    y = np.sin(x[:, 0]) + 0.1 * rng.standard_normal(N)
+
+    dm = DistGPR(mesh=msh, block=B)
+    dm.setData(x, y)
+    nlZ_d, dnlZ_d, _ = dm.getPosterior()
+
+    m_ref = pg.GPR()
+    m_ref.setData(x, y)
+    nlZ_r, dnlZ_r, _ = m_ref.getPosterior()
+    assert np.isclose(nlZ_d, nlZ_r, rtol=1e-10)
+    assert np.allclose(dnlZ_d.cov, dnlZ_r.cov, rtol=1e-8)
+
+    nlZ_opt, _ = dm.optimize(numIterations=10)
+    assert nlZ_opt <= nlZ_d + 1e-9
+    xs = np.linspace(-3, 3, 9)[:, None]
+    ym, ys2, fm, fs2, lp = dm.predict(xs, ys=np.sin(xs[:, 0]))
+    assert np.all(np.isfinite(ym))
+    assert np.all(fs2 >= 0)
+    assert lp.shape == (9, 1)
