@@ -1,0 +1,105 @@
+"""Distributed classification (Laplace/EP over DistributedOps) vs dense."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import pygps_tpu as pg
+from pygps_tpu.inference import ep as dense_ep
+from pygps_tpu.inference import laplace as dense_laplace
+from pygps_tpu.parallel import classify, mesh as pmesh
+from pygps_tpu.parallel.ops import DistributedOps
+from pygps_tpu.parallel.ring_gram import gram_bc
+
+N, B, PDEV = 64, 4, 8
+
+
+@pytest.fixture(scope="module")
+def msh():
+    return pmesh.make_mesh(PDEV)
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((N, 2)))
+    y = jnp.sign(jnp.asarray(x)[:, 0] +
+                 0.3 * jnp.asarray(rng.standard_normal(N)))
+    return x, y
+
+
+def test_distributed_ops_primitives(msh, data):
+    x, y = data
+    kern = pg.cov.RBF(0.2, 0.3)
+    K = np.asarray(kern.Ktrain(x))
+    ops = DistributedOps(gram_bc(kern, x, msh, B), msh)
+    v = jnp.asarray(np.random.default_rng(1).standard_normal(N))
+    assert np.allclose(np.asarray(ops.matvec(v)), K @ v, atol=1e-10)
+    assert np.allclose(np.asarray(ops.diag()), np.diag(K), atol=1e-12)
+    W = jnp.asarray(np.abs(np.random.default_rng(2).standard_normal(N)))
+    aux = ops.with_W(W)
+    sW = np.sqrt(np.asarray(W))
+    Bm = np.eye(N) + sW[:, None] * K * sW[None, :]
+    assert np.isclose(float(ops.logdetB(aux)),
+                      np.linalg.slogdet(Bm)[1], atol=1e-9)
+    u = np.asarray(ops.apply_A(aux, v))
+    ref = sW * np.linalg.solve(Bm, sW * np.asarray(v))
+    assert np.allclose(u, ref, atol=1e-9)
+    sig = np.asarray(ops.diag_Sigma(aux))
+    Sig_ref = K - (sW[:, None] * K).T @ np.linalg.solve(Bm, sW[:, None] * K)
+    assert np.allclose(sig, np.diag(Sig_ref), atol=1e-9)
+
+
+def test_distributed_laplace_matches_dense(msh, data):
+    x, y = data
+    mean, kern, lik = pg.mean.Zero(), pg.cov.RBF(0.3, 0.3), pg.lik.Erf()
+    nl_d = float(classify.laplace_nlml(mean, kern, lik, x, y, msh, block=B))
+    nl_ref = float(dense_laplace.nlml(mean, kern, lik, x, y))
+    assert np.isclose(nl_d, nl_ref, rtol=1e-9)
+
+
+def test_distributed_laplace_grads_match_dense(msh, data):
+    from jax.flatten_util import ravel_pytree
+
+    x, y = data
+    mean, kern, lik = pg.mean.Zero(), pg.cov.RBF(0.3, 0.3), pg.lik.Erf()
+    theta, unravel = ravel_pytree((mean, kern, lik))
+
+    def f_d(t):
+        m, k, l = unravel(t)
+        return classify.laplace_nlml(m, k, l, x, y, msh, block=B)
+
+    def f_r(t):
+        m, k, l = unravel(t)
+        return dense_laplace.nlml(m, k, l, x, y)
+
+    gd = np.asarray(jax.grad(f_d)(theta))
+    gr = np.asarray(jax.grad(f_r)(theta))
+    assert np.allclose(gd, gr, rtol=1e-6, atol=1e-9)
+
+
+def test_distributed_ep_matches_dense(msh, data):
+    x, y = data
+    mean, kern, lik = pg.mean.Zero(), pg.cov.RBF(0.3, 0.3), pg.lik.Erf()
+    nl_d = float(classify.ep_nlml(mean, kern, lik, x, y, msh, block=B))
+    nl_ref = float(dense_ep.nlml(mean, kern, lik, x, y))
+    assert np.isclose(nl_d, nl_ref, rtol=1e-7)
+
+
+def test_distributed_laplace_predict(msh, data):
+    x, y = data
+    mean, kern, lik = pg.mean.Zero(), pg.cov.RBF(0.3, 0.3), pg.lik.Erf()
+    alpha, W, ops = classify.laplace_predict_parts(
+        mean, kern, lik, x, y, msh, block=B)
+    xs = x[:7]
+    lp, ymu, ys2, fmu, fs2 = classify.predict(mean, kern, lik, x, xs,
+                                              alpha, W, ops)
+    # dense reference
+    post, _ = dense_laplace.evaluate(mean, kern, lik, x, y)
+    from pygps_tpu.core.posteriors import predict_latent
+    fmu_r, fs2_r = predict_latent(post, kern.K(x, xs), kern.Kdiag(xs),
+                                  mean(xs))
+    assert np.allclose(np.asarray(fmu), np.asarray(fmu_r), atol=1e-8)
+    assert np.allclose(np.asarray(fs2), np.asarray(fs2_r), atol=1e-8)
