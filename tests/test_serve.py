@@ -1,0 +1,48 @@
+"""Prediction-server tests: correctness and no-recompile dispatch."""
+
+import numpy as np
+
+import pygps_tpu as pg
+from pygps_tpu.serve import PredictServer
+
+
+def _model():
+    rng = np.random.default_rng(0)
+    x = np.linspace(-3, 3, 40)[:, None]
+    y = np.sin(x[:, 0]) + 0.1 * rng.standard_normal(40)
+    m = pg.GPR()
+    m.setData(x, y)
+    m.getPosterior(der=False)
+    return m
+
+
+def test_server_matches_model_predict():
+    m = _model()
+    srv = PredictServer(m, batch_sizes=(8, 32)).warm()
+    xq = np.linspace(-3, 3, 21)[:, None]     # odd size → padding path
+    ymu, ys2 = srv.predict(xq)
+    ref = m.predict(xq)
+    assert np.allclose(ymu, ref[0][:, 0], atol=1e-10)
+    assert np.allclose(ys2, ref[1][:, 0], atol=1e-10)
+
+
+def test_server_chunks_large_requests():
+    m = _model()
+    srv = PredictServer(m, batch_sizes=(8, 16)).warm()
+    xq = np.linspace(-4, 4, 75)[:, None]     # > largest bucket
+    ymu, ys2 = srv.predict(xq)
+    assert ymu.shape == (75,)
+    ref = m.predict(xq)
+    assert np.allclose(ymu, ref[0][:, 0], atol=1e-10)
+
+
+def test_server_no_recompile_on_request_path():
+    import jax
+
+    m = _model()
+    srv = PredictServer(m, batch_sizes=(16,)).warm()
+    # count compilations via the jit cache stats of the server fn
+    before = srv._fn._cache_size()
+    for q in (3, 7, 16, 11):
+        srv.predict(np.random.randn(q, 1))
+    assert srv._fn._cache_size() == before     # all hits: padded shapes
