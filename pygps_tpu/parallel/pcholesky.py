@@ -48,7 +48,8 @@ def _local_gidx(p, m, axis):
 # ---------------------------------------------------------------------------
 
 
-def _pchol_local(A, *, p, m, b, n, axis, n_col_chunks=16):
+def _pchol_local(A, *, p, m, b, n, axis, n_col_chunks=16,
+                 update_dtype=None):
     """Kernel body: A is the local (m, b, n) slab; returns local L slab.
 
     The trailing update is split into ``n_col_chunks`` static column
@@ -102,8 +103,15 @@ def _pchol_local(A, *, p, m, b, n, axis, n_col_chunks=16):
 
             def upd(ops):
                 Lr, Pcc = ops
+                if update_dtype is not None:
+                    # mixed precision: low-precision operands, full-precision
+                    # accumulation (the trailing GEMM is the FLOP hot spot;
+                    # panels/diagonal stay full precision)
+                    Lr = Lr.astype(update_dtype)
+                    Pcc = Pcc.astype(update_dtype)
                 return jnp.einsum("mrc,nc->mrn", Lr, Pcc,
-                                  preferred_element_type=A.dtype)
+                                  preferred_element_type=A.dtype
+                                  ).astype(A.dtype)
 
             delta = lax.cond(needed, upd,
                              lambda ops: jnp.zeros((m, b, cw), A.dtype),
@@ -114,12 +122,20 @@ def _pchol_local(A, *, p, m, b, n, axis, n_col_chunks=16):
     return lax.fori_loop(0, nb, panel, A)
 
 
-def pcholesky(A_bc: jax.Array, mesh: Mesh, axis: str = "shard") -> jax.Array:
-    """Factor a bc-layout SPD matrix: returns L (bc layout, lower)."""
+def pcholesky(A_bc: jax.Array, mesh: Mesh, axis: str = "shard",
+              update_dtype=None) -> jax.Array:
+    """Factor a bc-layout SPD matrix: returns L (bc layout, lower).
+
+    ``update_dtype=jnp.bfloat16`` runs the trailing-update GEMMs in bf16
+    with f32 accumulation (~4× MXU rate on v5e); panels and diagonal
+    factorizations stay full precision.  Accuracy cost is characterized in
+    tests/test_parallel.py::test_pcholesky_bf16_updates — use only where
+    downstream tolerances allow (e.g. NLML for MCMC, not tight solves)."""
     p, m, b, n = A_bc.shape
 
     def body(A):
-        return _pchol_local(A[0], p=p, m=m, b=b, n=n, axis=axis)[None]
+        return _pchol_local(A[0], p=p, m=m, b=b, n=n, axis=axis,
+                            update_dtype=update_dtype)[None]
 
     f = shard_map(body, mesh=mesh, in_specs=(P(axis),), out_specs=P(axis),
                   check_vma=False)

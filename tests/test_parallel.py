@@ -199,3 +199,18 @@ def test_distgpr_model(msh):
     assert np.all(np.isfinite(ym))
     assert np.all(fs2 >= 0)
     assert lp.shape == (9, 1)
+
+
+def test_pcholesky_bf16_updates(msh, spd):
+    """Mixed-precision trailing updates: bf16 GEMMs + f32 accumulation.
+    Characterizes the accuracy cost (~bf16 eps in reconstruction) that the
+    4x MXU-rate option trades away; full-precision path unchanged."""
+    A32 = jnp.asarray(spd, dtype=jnp.float32)
+    Abc = pmesh.shard_bc(pmesh.to_block_cyclic(A32, B, PDEV), msh)
+    Lref = np.linalg.cholesky(spd)
+    L16 = pcholesky(Abc, msh, update_dtype=jnp.bfloat16)
+    Ld = np.asarray(pmesh.from_block_cyclic(L16), dtype=np.float64)
+    rec = np.abs(Ld @ Ld.T - spd).max() / np.abs(spd).max()
+    assert rec < 5e-3            # bf16-eps-level, not blow-up
+    fac = np.abs(Ld - Lref).max() / np.abs(Lref).max()
+    assert fac < 5e-3
