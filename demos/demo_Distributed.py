@@ -5,8 +5,11 @@ import os
 import sys
 from pathlib import Path
 
-if "pytest" not in sys.modules and os.environ.get("JAX_PLATFORMS") != "tpu":
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# default to the 8-device virtual CPU mesh; set PYGPS_DEMO_TPU=1 to run on
+# real TPU devices instead (the session env pins JAX_PLATFORMS=axon, so a
+# plain setdefault would silently land on the single tunneled chip)
+if "pytest" not in sys.modules and not os.environ.get("PYGPS_DEMO_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + " --xla_force_host_platform_device_count=8")
 
@@ -16,6 +19,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax                                 # noqa: E402
+
+if not os.environ.get("PYGPS_DEMO_TPU"):
+    # env var alone does not override the session's axon platform pin;
+    # the config update does (see tests/conftest.py)
+    jax.config.update("jax_platforms", "cpu")
 
 import pygps_tpu as pg                     # noqa: E402
 from pygps_tpu.models.dist import DistGPR  # noqa: E402

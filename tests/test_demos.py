@@ -13,6 +13,7 @@ DEMOS = Path(__file__).resolve().parent.parent / "demos"
 @pytest.mark.parametrize("name", [
     "demo_GPR", "demo_GPC", "demo_GPMC", "demo_GPR_FITC",
     "demo_GPC_FITC", "demo_CV", "demo_GraphKernel", "demo_Sampling",
+    "demo_Distributed",
 ])
 def test_demo_runs(name):
     sys.path.insert(0, str(DEMOS))
