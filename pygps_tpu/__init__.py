@@ -27,4 +27,19 @@ __all__ = [
     "GP", "GPR", "GPC", "GPMC", "GPR_FITC", "GPC_FITC",
     "mean", "cov", "lik", "inf", "opt",
     "Posterior", "predict_latent",
+    "DistGPR", "PredictServer",
 ]
+
+
+def __getattr__(name):
+    # lazy extension exports (avoid pulling the distributed/serving stacks
+    # into the base import path)
+    if name == "DistGPR":
+        from pygps_tpu.models.dist import DistGPR
+
+        return DistGPR
+    if name == "PredictServer":
+        from pygps_tpu.serve import PredictServer
+
+        return PredictServer
+    raise AttributeError(f"module 'pygps_tpu' has no attribute {name!r}")
