@@ -176,3 +176,28 @@ def test_predict_full_and_posterior_samples():
     draws = m.posterior_samples(xs, n_samples=500, seed=1)
     assert draws.shape == (500, 9)
     assert np.allclose(draws.mean(0), fmu, atol=0.2)
+
+
+def test_optimizer_random_restarts():
+    """setOptimizer(num_restarts=...) explores hyp ranges and keeps the
+    best (reference opt.py restart loop)."""
+    x, y = _toy(n=20, d=1, seed=4)
+    m = pg.GPR()
+    m.setData(x, y)
+    m.setOptimizer("Minimize", num_restarts=3,
+                   covRange=[(-2.0, 2.0), (-2.0, 2.0)],
+                   likRange=[(-3.0, 0.0)])
+    nlZ0, _, _ = m.getPosterior()
+    nlZ1, _ = m.optimize(numIterations=10)
+    assert nlZ1 <= nlZ0 + 1e-9
+
+
+def test_optimizer_min_threshold_early_stop():
+    x, y = _toy(n=15, d=1, seed=5)
+    m = pg.GPR()
+    m.setData(x, y)
+    m.setOptimizer("SCG", num_restarts=5, min_threshold=1e9,
+                   covRange=[(-1.0, 1.0), (-1.0, 1.0)],
+                   likRange=[(-2.0, 0.0)])
+    nlZ1, _ = m.optimize(numIterations=8)   # threshold hit immediately
+    assert np.isfinite(nlZ1)
