@@ -1,0 +1,210 @@
+"""Distributed matrix-free iterative exact-GP inference.
+
+The mesh-scale extension of inference/iterative.py ("Exact GPs on a
+Million Data Points", multi-GPU there → TPU mesh here): the n×n Gram
+matrix is NEVER materialized, not even sharded.  Each CG/Lanczos matvec
+computes its row block of K on the fly in column chunks inside
+``shard_map`` (O(n·chunk/p) transient memory per device) and re-gathers
+the result over ICI, so dataset size is bounded by O(n·d + n·probes)
+vectors — the million-point regime on a v5e slice.
+
+Gradients avoid the n×n cotangent entirely: the Hutchinson-trace
+surrogate
+
+    S(θ) = ½[(1/P)·Σ_p w_pᵀ K̃(θ) z_p − αᵀ K̃(θ) α],   w_p = K̃⁻¹z_p
+
+has ∂S/∂θ equal to the reference's Q-form gradient estimate
+(inf.Exact dnlZ, SURVEY.md §2.4) with K̃⁻¹ replaced by its probe
+estimator; ``jax.grad`` of S through the sharded matvec carries the
+cotangents into kernel hyperparameters with only matvec-sized buffers.
+
+Preconditioning: the rank-k pivoted-Cholesky Woodbury preconditioner
+(utils/pchol.py) — rows of K are evaluated on demand, so the factor costs
+O(n·k·d) kernel work and O(n·k) memory, replicated across the mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax, shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from pygps_tpu.parallel import mesh as pmesh
+from pygps_tpu.utils.cg import cg_solve, slq_logdet
+from pygps_tpu.utils.pchol import pivoted_cholesky, woodbury_preconditioner
+
+
+def make_sharded_matvec(mesh_: Mesh, axis: str = "shard",
+                        col_chunks: int = 8):
+    """Returns ``mv(kernel, x, X, sn2) -> (K(x,x) + sn2·I) X`` with x and X
+    replicated, the Gram computed tile-by-tile inside shard_map (never
+    stored).  Differentiable in the kernel pytree and sn2.  Requires
+    p | n and col_chunks | n (pad inputs)."""
+    p = mesh_.devices.size
+
+    def mv(kernel, x, X, sn2):
+        n, d = x.shape
+        k = X.shape[1]
+        assert n % p == 0 and n % col_chunks == 0, \
+            "pad n to a multiple of devices and col_chunks"
+        ln = n // p
+        cw = n // col_chunks
+
+        def body(kern, xfull, Xr, s2):
+            di = lax.axis_index(axis)
+            xloc = lax.dynamic_slice(xfull, (di * ln, di * 0), (ln, d))
+
+            def chunk(acc, c):
+                xc = lax.dynamic_slice(xfull, (c * cw, c * 0), (cw, d))
+                Xc = lax.dynamic_slice(Xr, (c * cw, c * 0), (cw, k))
+                return acc + kern._cross(xloc, xc) @ Xc, None
+
+            acc0 = jnp.zeros((ln, k), X.dtype)
+            acc, _ = lax.scan(chunk, acc0, jnp.arange(col_chunks))
+            acc = acc + s2 * lax.dynamic_slice(Xr, (di * ln, di * 0),
+                                               (ln, k))
+            out = lax.all_gather(acc, axis)          # (p, ln, k)
+            return out.reshape(n, k)
+
+        f = shard_map(body, mesh=mesh_, in_specs=(P(), P(), P(), P()),
+                      out_specs=P(), check_vma=False)
+        return f(kernel, x, X, jnp.asarray(sn2, X.dtype))
+
+    return mv
+
+
+def _row_fn(kernel, x):
+    n, d = x.shape
+    return lambda pidx: kernel.K(
+        lax.dynamic_slice(x, (pidx, 0), (1, d)), x)[0]
+
+
+def make_dist_iter_nlml(mesh_: Mesh | None = None, axis: str = "shard",
+                        col_chunks: int = 8, cg_tol: float = 1e-6,
+                        cg_iters: int = 512, num_probes: int = 16,
+                        lanczos_iters: int = 30, precond_rank: int = 0):
+    """Factory: nlml_core(kernel, mvec, sn2, y, x, seed) -> nlZ with the
+    surrogate-gradient custom VJP (zero cotangent to x)."""
+    mesh_ = mesh_ if mesh_ is not None else pmesh.make_mesh()
+    mv_fn = make_sharded_matvec(mesh_, axis, col_chunks)
+
+    def _solver_logdet(kernel, x, sn2):
+        mv = lambda X: mv_fn(kernel, x, X, sn2)
+        n = x.shape[0]
+        if precond_rank > 0:
+            Lpc, _ = pivoted_cholesky(
+                _row_fn(kernel, x), kernel.Kdiag(x), precond_rank)
+            Lpc = lax.stop_gradient(Lpc)
+            apply_inv, apply_inv_sqrt, logdetP = woodbury_preconditioner(
+                Lpc, lax.stop_gradient(sn2))
+
+            def solver(B):
+                X, _, _ = cg_solve(mv, B, tol=cg_tol, max_iters=cg_iters,
+                                   precond=apply_inv)
+                return X
+
+            mv_hat = lambda X: apply_inv_sqrt(mv(apply_inv_sqrt(X)))
+
+            def logdet_fn(key):
+                return logdetP + slq_logdet(
+                    mv_hat, n, key, num_probes=num_probes,
+                    lanczos_iters=lanczos_iters, dtype=x.dtype)
+        else:
+            Minv = 1.0 / (kernel.Kdiag(x) + sn2)
+
+            def solver(B):
+                X, _, _ = cg_solve(mv, B, tol=cg_tol, max_iters=cg_iters,
+                                   M_inv_diag=Minv)
+                return X
+
+            def logdet_fn(key):
+                return slq_logdet(mv, n, key, num_probes=num_probes,
+                                  lanczos_iters=lanczos_iters,
+                                  dtype=x.dtype)
+        return solver, logdet_fn
+
+    @partial(jax.custom_vjp, nondiff_argnums=(5,))
+    def nlml_core(kernel, mvec, sn2, y, x, seed):
+        return _fwd(kernel, mvec, sn2, y, x, seed)[0]
+
+    def _fwd(kernel, mvec, sn2, y, x, seed):
+        n = y.shape[0]
+        kern_s = lax.stop_gradient(kernel)
+        sn2_s = lax.stop_gradient(sn2)
+        solver, logdet_fn = _solver_logdet(kern_s, x, sn2_s)
+        r = y - mvec
+        alpha = solver(r[:, None])[:, 0]
+        logdet = logdet_fn(jax.random.PRNGKey(seed))
+        nlZ = (0.5 * jnp.dot(r, alpha) + 0.5 * logdet
+               + 0.5 * n * jnp.log(2.0 * jnp.pi))
+        return nlZ, (kernel, sn2, alpha, x)
+
+    def _bwd(seed, res, g):
+        kernel, sn2, alpha, x = res
+        n = alpha.shape[0]
+        kern_s = lax.stop_gradient(kernel)
+        sn2_s = lax.stop_gradient(sn2)
+        solver, _ = _solver_logdet(kern_s, x, sn2_s)
+        Z = jax.random.rademacher(jax.random.PRNGKey(seed + 1),
+                                  (n, num_probes), dtype=x.dtype)
+        W = solver(Z)
+
+        def surrogate(kern_p, sn2_p):
+            MZ = mv_fn(kern_p, x, Z, sn2_p)
+            Ma = mv_fn(kern_p, x, alpha[:, None], sn2_p)
+            return 0.5 * (jnp.sum(W * MZ) / num_probes
+                          - jnp.dot(alpha, Ma[:, 0]))
+
+        kbar, sn2bar = jax.grad(surrogate, argnums=(0, 1))(kernel, sn2)
+        scale = lambda t: jax.tree.map(lambda a: g * a, t)
+        return (scale(kbar), -g * alpha, g * sn2bar, g * alpha,
+                jnp.zeros_like(x))
+
+    nlml_core.defvjp(_fwd, _bwd)
+    return nlml_core
+
+
+class DistributedIterative:
+    """Mesh-scale matrix-free exact-GPR engine (NLML + posterior mean).
+
+    Use where even the sharded dense Gram (parallel/exact.py) does not
+    fit: memory is O(n·d + n·num_probes) per device, compute O(n²/p) per
+    matvec.  ``precond_rank`` > 0 is strongly recommended (utils/pchol.py)
+    — it both collapses CG iteration counts and debiases SLQ."""
+
+    def __init__(self, mesh_: Mesh | None = None, axis: str = "shard",
+                 col_chunks: int = 8, cg_tol: float = 1e-6,
+                 cg_iters: int = 512, num_probes: int = 16,
+                 lanczos_iters: int = 30, precond_rank: int = 100):
+        self.mesh = mesh_ if mesh_ is not None else pmesh.make_mesh()
+        self.axis = axis
+        self._mv = make_sharded_matvec(self.mesh, axis, col_chunks)
+        self._cfg = dict(col_chunks=col_chunks, cg_tol=cg_tol,
+                         cg_iters=cg_iters, num_probes=num_probes,
+                         lanczos_iters=lanczos_iters,
+                         precond_rank=precond_rank)
+        self._core = make_dist_iter_nlml(self.mesh, axis, **self._cfg)
+
+    def nlml(self, mean, kernel, lik, x, y, seed=0):
+        sn2 = jnp.exp(2.0 * lik.log_sigma)
+        return self._core(kernel, mean(x), sn2, y, x, seed)
+
+    def posterior_mean_alpha(self, mean, kernel, lik, x, y):
+        """alpha = K̃⁻¹(y − m) by preconditioned CG over the mesh."""
+        sn2 = jnp.exp(2.0 * lik.log_sigma)
+        mv = lambda X: self._mv(kernel, x, X, sn2)
+        r = (y - mean(x))[:, None]
+        rank = self._cfg["precond_rank"]
+        kw = {}
+        if rank > 0:
+            Lpc, _ = pivoted_cholesky(_row_fn(kernel, x),
+                                      kernel.Kdiag(x), rank)
+            kw["precond"] = woodbury_preconditioner(Lpc, sn2)[0]
+        else:
+            kw["M_inv_diag"] = 1.0 / (kernel.Kdiag(x) + sn2)
+        alpha, it, res = cg_solve(mv, r, tol=self._cfg["cg_tol"],
+                                  max_iters=self._cfg["cg_iters"], **kw)
+        return alpha[:, 0], it, res

@@ -20,15 +20,17 @@ from jax import lax
 
 
 def cg_solve(matvec: Callable, B: jax.Array, tol: float = 1e-8,
-             max_iters: int = 256, M_inv_diag=None):
+             max_iters: int = 256, M_inv_diag=None, precond=None):
     """Solve A X = B for SPD A given ``matvec(X) -> A X`` on (n, k) blocks.
 
-    Jacobi-preconditioned when ``M_inv_diag`` (n,) is given.  Returns
-    (X, iters, resnorm)."""
+    Preconditioning: pass ``precond(R) -> M⁻¹R`` (e.g. the Woodbury
+    pivoted-Cholesky preconditioner from utils/pchol.py), or the cheaper
+    ``M_inv_diag`` (n,) for Jacobi.  Returns (X, iters, resnorm)."""
     n, k = B.shape
 
-    def precond(R):
-        return R if M_inv_diag is None else M_inv_diag[:, None] * R
+    if precond is None:
+        def precond(R):
+            return R if M_inv_diag is None else M_inv_diag[:, None] * R
 
     X0 = jnp.zeros_like(B)
     R0 = B

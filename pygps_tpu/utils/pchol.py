@@ -1,0 +1,94 @@
+"""Pivoted (partial) Cholesky and the Woodbury preconditioner it induces.
+
+The reference has no preconditioning story (its only solver is a dense
+LAPACK Cholesky, tools.py jitchol); this is the standard accelerator for
+the iterative exact-GP path (GPyTorch's BBMM preconditioner, per the
+retrieved literature): a rank-k pivoted Cholesky L of the *noise-free*
+Gram K gives P = LᵀL + σ²I ≈ K̃, and preconditioned CG on P⁻¹K̃ converges
+in O(√(κ(P⁻¹K̃))) iterations — for smooth kernels (fast-decaying spectra)
+a small k collapses the condition number.
+
+jit-native throughout: fixed-rank ``lax.fori_loop`` with argmax pivot
+selection (greedy trace minimization), no data-dependent shapes.  Cost is
+O(n·k) kernel-row evaluations + O(n·k²) flops, O(n·k) memory.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def pivoted_cholesky(row_fn: Callable, diag: jax.Array, rank: int):
+    """Greedy rank-``rank`` pivoted partial Cholesky of SPD K.
+
+    ``row_fn(i) -> K[i, :]`` (n,) and ``diag = diag(K)`` (n,).  Returns
+    ``(L, pivots)`` with L (rank, n) such that K ≈ LᵀL; the approximation
+    error is tr(K − LᵀL) = Σ of the final residual diagonal, minimized
+    greedily (largest residual-diagonal pivot each step).
+
+    Ranks past the numerical rank produce exact-zero rows (guarded), so
+    over-asking is safe.
+    """
+    n = diag.shape[0]
+    dmax0 = jnp.max(diag)
+
+    def step(i, carry):
+        L, d, piv = carry
+        p = jnp.argmax(d)
+        dp = d[p]
+        row = row_fn(p)                                   # (n,)
+        lp = lax.dynamic_slice(L, (0, p), (rank, 1))[:, 0]  # L[:, p]
+        num = row - lp @ L                # rows ≥ i are zero ⇒ sums j < i
+        ok = dp > 1e-12 * dmax0
+        li = jnp.where(ok, num / jnp.sqrt(jnp.maximum(dp, 1e-30)), 0.0)
+        L = lax.dynamic_update_slice(L, li[None, :], (i, 0))
+        d = jnp.maximum(d - li * li, 0.0)
+        d = d.at[p].set(0.0)              # never re-pivot the same index
+        piv = piv.at[i].set(p)
+        return L, d, piv
+
+    L0 = jnp.zeros((rank, n), dtype=diag.dtype)
+    piv0 = jnp.zeros((rank,), dtype=jnp.int32)
+    L, _, piv = lax.fori_loop(0, rank, step, (L0, diag, piv0))
+    return L, piv
+
+
+def woodbury_preconditioner(L: jax.Array, sn2):
+    """Preconditioner P = LᵀL + sn2·I from a (k, n) low-rank factor.
+
+    Returns ``(apply_inv, apply_inv_sqrt, logdetP)``:
+
+    * ``apply_inv(R)``      = P⁻¹ R  (Woodbury, O(n·k) per column)
+    * ``apply_inv_sqrt(R)`` = P^{-1/2} R (symmetric square root via the
+      k×k eigendecomposition of L Lᵀ — used by preconditioned SLQ, where
+      the operator must stay symmetric)
+    * ``logdetP``           = (n−k)·log sn2 + log det(sn2 I_k + L Lᵀ)
+    """
+    k, n = L.shape
+    sn2 = jnp.asarray(sn2, L.dtype)
+    G = L @ L.T                                          # (k, k)
+    M = G + sn2 * jnp.eye(k, dtype=L.dtype)
+    Lm = jnp.linalg.cholesky(M)
+
+    def apply_inv(R):
+        return (R - L.T @ jax.scipy.linalg.cho_solve((Lm, True), L @ R)) / sn2
+
+    # symmetric inverse square root: LLᵀ = U Λ Uᵀ; the λ>0 eigenvectors of
+    # LᵀL are V = Lᵀ U Λ^{-1/2}; P^{-1/2} = (I + V(√(sn2/(λ+sn2))−1)Vᵀ)/√sn2
+    lam, U = jnp.linalg.eigh(G)
+    good = lam > 1e-12 * jnp.maximum(jnp.max(lam), 1e-30)
+    inv_sqrt_lam = jnp.where(good, 1.0 / jnp.sqrt(jnp.maximum(lam, 1e-30)),
+                             0.0)
+    V = L.T @ (U * inv_sqrt_lam[None, :])                # (n, k)
+    c = jnp.where(good, jnp.sqrt(sn2 / (lam + sn2)) - 1.0, 0.0)
+
+    def apply_inv_sqrt(R):
+        return (R + V @ (c[:, None] * (V.T @ R))) / jnp.sqrt(sn2)
+
+    logdetP = ((n - k) * jnp.log(sn2)
+               + 2.0 * jnp.sum(jnp.log(jnp.diag(Lm))))
+    return apply_inv, apply_inv_sqrt, logdetP

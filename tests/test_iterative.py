@@ -70,6 +70,100 @@ def test_iterative_gradients_close():
     assert np.allclose(g_it, g_ref, rtol=0.25, atol=0.5)
 
 
+def _rbf_problem(n=240, sn2=1e-3, seed=7):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((n, 2)))
+    kern = pg.cov.RBF(0.0, 0.0)
+    K = kern.Ktrain(x)
+    y = jnp.asarray(np.sin(np.asarray(x)[:, 0])
+                    + 0.03 * rng.standard_normal(n))
+    return x, y, kern, K, sn2
+
+
+def test_pivoted_cholesky_low_rank_captures_rbf():
+    from jax import lax
+    from pygps_tpu.utils.pchol import pivoted_cholesky
+
+    _, _, _, K, _ = _rbf_problem()
+    row_fn = lambda p: lax.dynamic_index_in_dim(K, p, 0, keepdims=False)
+    L, piv = pivoted_cholesky(row_fn, jnp.diag(K), 40)
+    rel = float(jnp.linalg.norm(K - L.T @ L) / jnp.linalg.norm(K))
+    assert rel < 1e-2                      # RBF spectrum decays fast
+    # pivots are distinct
+    assert len(np.unique(np.asarray(piv))) == 40
+    # over-asking rank beyond numerical rank is safe (zero rows, finite)
+    L2, _ = pivoted_cholesky(row_fn, jnp.diag(K), 239)
+    assert np.all(np.isfinite(np.asarray(L2)))
+
+
+def test_woodbury_precond_cuts_cg_iterations():
+    from jax import lax
+    from pygps_tpu.utils.pchol import (pivoted_cholesky,
+                                       woodbury_preconditioner)
+
+    _, _, _, K, sn2 = _rbf_problem()
+    n = K.shape[0]
+    rng = np.random.default_rng(8)
+    B = jnp.asarray(rng.standard_normal((n, 2)))
+    mv = lambda X: K @ X + sn2 * X
+    row_fn = lambda p: lax.dynamic_index_in_dim(K, p, 0, keepdims=False)
+    L, _ = pivoted_cholesky(row_fn, jnp.diag(K), 40)
+    apply_inv, _, _ = woodbury_preconditioner(L, sn2)
+    Xj, itj, _ = cg_solve(mv, B, tol=1e-10, max_iters=2000,
+                          M_inv_diag=1.0 / (jnp.diag(K) + sn2))
+    Xp, itp, _ = cg_solve(mv, B, tol=1e-10, max_iters=2000,
+                          precond=apply_inv)
+    assert np.allclose(np.asarray(Xj), np.asarray(Xp), atol=1e-6)
+    assert int(itp) < int(itj) / 3         # observed ~10× on this problem
+
+
+def test_precond_slq_logdet_accurate_where_plain_fails():
+    from jax import lax
+    from pygps_tpu.utils.pchol import (pivoted_cholesky,
+                                       woodbury_preconditioner)
+
+    _, _, _, K, sn2 = _rbf_problem()
+    n = K.shape[0]
+    ref = float(np.linalg.slogdet(np.asarray(K) + sn2 * np.eye(n))[1])
+    mv = lambda X: K @ X + sn2 * X
+    row_fn = lambda p: lax.dynamic_index_in_dim(K, p, 0, keepdims=False)
+    L, _ = pivoted_cholesky(row_fn, jnp.diag(K), 40)
+    _, apply_inv_sqrt, logdetP = woodbury_preconditioner(L, sn2)
+    mv_hat = lambda X: apply_inv_sqrt(mv(apply_inv_sqrt(X)))
+    est = float(logdetP + slq_logdet(mv_hat, n, jax.random.PRNGKey(0),
+                                     num_probes=16, lanczos_iters=15,
+                                     dtype=K.dtype))
+    est_plain = float(slq_logdet(mv, n, jax.random.PRNGKey(0),
+                                 num_probes=16, lanczos_iters=15,
+                                 dtype=K.dtype))
+    # ill-conditioned K̃: 15 Lanczos steps are nowhere near enough without
+    # preconditioning, but the preconditioned spectrum clusters at 1
+    assert abs(est - ref) / abs(ref) < 0.01
+    assert abs(est_plain - ref) / abs(ref) > 0.05
+
+
+def test_preconditioned_nlml_and_grad_match_cholesky():
+    x, y, kern, _, sn2 = _rbf_problem()
+    mean, lik = pg.mean.Zero(), pg.lik.Gauss(0.5 * float(np.log(sn2)))
+    ref = float(exact.nlml(mean, kern, lik, x, y))
+    est = float(iterative.nlml(mean, kern, lik, x, y, num_probes=16,
+                               lanczos_iters=15, precond_rank=40))
+    assert abs(est - ref) / abs(ref) < 0.02
+
+    def f_it(ls):
+        return iterative.nlml(mean, kern, pg.lik.Gauss(ls), x, y,
+                              num_probes=64, lanczos_iters=15,
+                              precond_rank=40)
+
+    def f_ref(ls):
+        return exact.nlml(mean, kern, pg.lik.Gauss(ls), x, y)
+
+    ls = jnp.asarray(0.5 * float(np.log(sn2)))
+    g_it = float(jax.grad(f_it)(ls))
+    g_ref = float(jax.grad(f_ref)(ls))
+    assert abs(g_it - g_ref) / max(abs(g_ref), 1.0) < 0.15
+
+
 def test_posterior_solve_matches_dense():
     rng = np.random.default_rng(5)
     x = jnp.asarray(np.linspace(-3, 3, 40)[:, None])

@@ -1,0 +1,77 @@
+"""Distributed matrix-free iterative exact GP vs the dense engine.
+
+Runs on the 8-device virtual CPU mesh (conftest); the Gram matrix is
+never materialized — every matvec builds its row-block tiles on the fly
+inside shard_map."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import pygps_tpu as pg
+from pygps_tpu.inference import exact
+from pygps_tpu.parallel.piterative import (DistributedIterative,
+                                           make_sharded_matvec)
+from pygps_tpu.parallel import mesh as pmesh
+
+
+def _problem(n=256, seed=0, log_sn=-3.0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((n, 2)))
+    y = jnp.asarray(np.sin(np.asarray(x)[:, 0])
+                    + 0.03 * rng.standard_normal(n))
+    return (pg.mean.Zero(), pg.cov.RBF(0.0, 0.0), pg.lik.Gauss(log_sn),
+            x, y)
+
+
+def test_sharded_matvec_matches_dense():
+    mean, kern, lik, x, y = _problem()
+    mv = make_sharded_matvec(pmesh.make_mesh(), col_chunks=8)
+    rng = np.random.default_rng(1)
+    X = jnp.asarray(rng.standard_normal((x.shape[0], 3)))
+    sn2 = jnp.exp(2.0 * lik.log_sigma)
+    got = mv(kern, x, X, sn2)
+    want = kern.Ktrain(x) @ X + sn2 * X
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-10)
+
+
+def test_dist_iterative_nlml_close_to_cholesky():
+    mean, kern, lik, x, y = _problem()
+    eng = DistributedIterative(col_chunks=8, precond_rank=40,
+                               num_probes=16, lanczos_iters=15)
+    ref = float(exact.nlml(mean, kern, lik, x, y))
+    est = float(eng.nlml(mean, kern, lik, x, y))
+    assert abs(est - ref) / abs(ref) < 0.02
+
+
+def test_dist_iterative_gradients_close():
+    from jax.flatten_util import ravel_pytree
+
+    mean, kern, lik, x, y = _problem()
+    eng = DistributedIterative(col_chunks=8, precond_rank=40,
+                               num_probes=64, lanczos_iters=15)
+    theta, unravel = ravel_pytree((mean, kern, lik))
+
+    def f_it(t):
+        m, k, l = unravel(t)
+        return eng.nlml(m, k, l, x, y)
+
+    def f_ref(t):
+        m, k, l = unravel(t)
+        return exact.nlml(m, k, l, x, y)
+
+    g_it = np.asarray(jax.grad(f_it)(theta))
+    g_ref = np.asarray(jax.grad(f_ref)(theta))
+    assert np.allclose(g_it, g_ref, rtol=0.15, atol=0.3)
+
+
+def test_dist_posterior_mean_matches_dense():
+    mean, kern, lik, x, y = _problem()
+    eng = DistributedIterative(col_chunks=8, precond_rank=40,
+                               cg_tol=1e-10)
+    alpha, it, res = eng.posterior_mean_alpha(mean, kern, lik, x, y)
+    post = exact.posterior(mean, kern, lik, x, y)
+    assert np.allclose(np.asarray(alpha), np.asarray(post.alpha),
+                       atol=1e-6)
+    assert int(it) < 40        # preconditioned: ~19 on this problem
