@@ -179,6 +179,36 @@ class EP(Inference):
         self.last_tnu = np.asarray(aux[1])
 
 
+class Iterative(Inference):
+    """Matrix-free exact GPR engine (no reference counterpart): BBMM-style
+    preconditioned CG solves + SLQ log det (inference/iterative.py), with
+    the rank-k pivoted-Cholesky Woodbury preconditioner (utils/pchol.py).
+    O(n²) memory / O(n²·iters) compute — use where Cholesky's O(n³) or a
+    stored factor is the bottleneck.  Gauss likelihood only."""
+
+    def __init__(self, num_probes=16, lanczos_iters=30, cg_tol=1e-8,
+                 cg_iters=512, precond_rank=100, seed=0):
+        self._cfg = dict(num_probes=num_probes,
+                         lanczos_iters=lanczos_iters, cg_tol=cg_tol,
+                         cg_iters=cg_iters, precond_rank=precond_rank,
+                         seed=seed)
+
+    def _evaluate(self, mean, kernel, lik, x, y):
+        from pygps_tpu.inference import iterative as _iterative
+
+        return _iterative.evaluate(mean, kernel, lik, x, y, **self._cfg)
+
+    def _nlml(self):
+        from pygps_tpu.inference import iterative as _iterative
+
+        cfg = self._cfg
+
+        def f(mean, kernel, lik, x, y):
+            return _iterative.nlml(mean, kernel, lik, x, y, **cfg)
+
+        return f
+
+
 class FITC_Exact(Inference):
     """Reference inf.FITC_Exact."""
 
@@ -223,5 +253,5 @@ class FITC_EP(EP):
         return _ep.fitc_nlml_with_sites
 
 
-__all__ = ["Inference", "Exact", "Laplace", "EP",
+__all__ = ["Inference", "Exact", "Laplace", "EP", "Iterative",
            "FITC_Exact", "FITC_Laplace", "FITC_EP", "DnlZ"]

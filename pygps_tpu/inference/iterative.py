@@ -39,7 +39,9 @@ def _matvec_fn(K, sn2):
 
 
 def _pchol_factor(K, rank):
-    """Rank-``rank`` pivoted-Cholesky factor of K (no noise); (rank, n)."""
+    """Rank-``rank`` pivoted-Cholesky factor of K (no noise); (rank, n).
+    Rank is clamped to n (over-asking is legal but wasteful)."""
+    rank = min(int(rank), K.shape[0])
     row_fn = lambda p: lax.dynamic_index_in_dim(K, p, 0, keepdims=False)
     L, _ = pivoted_cholesky(row_fn, jnp.diag(K), rank)
     return lax.stop_gradient(L)
@@ -136,6 +138,77 @@ def nlml(mean, kernel, lik, x, y, seed=0, num_probes=16, lanczos_iters=25,
     sn2 = jnp.exp(2.0 * lik.log_sigma)
     return _nlml_core(K, m, sn2, y, seed, num_probes, lanczos_iters,
                       (cg_tol, cg_iters, precond_rank))
+
+
+from jax import tree_util
+
+
+@tree_util.register_pytree_node_class
+class NegInvOperator:
+    """Implicit −K̃⁻¹ living in the Posterior's explicit-L slot.
+
+    The reference's non-triangular posterior branch computes
+    fs2 = kss + Σ(Ks ∘ (L·Ks)) (gp.py:~290-320, SURVEY.md §2.4); with
+    L = −K̃⁻¹ that is the exact-GP variance.  Here ``L @ Ks`` is a batched
+    preconditioned CG solve instead of a stored matrix, so the iterative
+    engine honors the (alpha, sW, L) contract without ever factorizing."""
+
+    def __init__(self, K, sn2, Lpc, cg_tol=1e-8, cg_iters=512):
+        self.K = K
+        self.sn2 = sn2
+        self.Lpc = Lpc          # (rank, n) pivoted-Cholesky factor or None
+        self.cg_tol = cg_tol
+        self.cg_iters = cg_iters
+
+    def tree_flatten(self):
+        return (self.K, self.sn2, self.Lpc), (self.cg_tol, self.cg_iters)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, cg_tol=aux[0], cg_iters=aux[1])
+
+    @property
+    def shape(self):
+        return self.K.shape
+
+    def __matmul__(self, B):
+        mv = _matvec_fn(self.K, self.sn2)
+        kw = {}
+        if self.Lpc is not None:
+            kw["precond"] = woodbury_preconditioner(self.Lpc, self.sn2)[0]
+        else:
+            kw["M_inv_diag"] = 1.0 / (jnp.diag(self.K) + self.sn2)
+        X, _, _ = cg_solve(mv, B, tol=self.cg_tol,
+                           max_iters=self.cg_iters, **kw)
+        return -X
+
+
+def evaluate(mean, kernel, lik, x, y, seed=0, num_probes=16,
+             lanczos_iters=25, cg_tol=1e-8, cg_iters=512,
+             precond_rank=100):
+    """(Posterior, nlZ) via the matrix-free path — the engine entry point.
+
+    Gauss likelihood only (exact conjugate model, like inf.Exact).  The
+    posterior carries alpha from a CG solve and an implicit −K̃⁻¹ operator
+    (non-triangular L branch), so ``predict`` runs CG at prediction time
+    instead of a stored Cholesky factor."""
+    from pygps_tpu.core.likelihoods import Gauss
+    from pygps_tpu.core.posteriors import Posterior
+
+    if not isinstance(lik, Gauss):
+        raise TypeError("iterative exact inference requires lik.Gauss "
+                        "(use Laplace/EP engines for other likelihoods)")
+    K = kernel.Ktrain(x)
+    sn2 = jnp.exp(2.0 * lik.log_sigma)
+    r = y - mean(x)
+    Lpc = _pchol_factor(K, precond_rank) if precond_rank > 0 else None
+    op = NegInvOperator(K, sn2, Lpc, cg_tol=cg_tol, cg_iters=cg_iters)
+    alpha = -(op @ r[:, None])[:, 0]
+    sW = jnp.full_like(r, 1.0 / jnp.sqrt(sn2))
+    nlZ = nlml(mean, kernel, lik, x, y, seed=seed, num_probes=num_probes,
+               lanczos_iters=lanczos_iters, cg_tol=cg_tol,
+               cg_iters=cg_iters, precond_rank=precond_rank)
+    return Posterior(alpha, sW, op, is_tril=False), nlZ
 
 
 def posterior_solve(mean, kernel, lik, x, y, cg_tol=1e-8, cg_iters=512,

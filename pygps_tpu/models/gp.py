@@ -102,7 +102,7 @@ class GP:
 
     def useInference(self, newInf):
         table = {"Exact": engines.Exact, "Laplace": engines.Laplace,
-                 "EP": engines.EP}
+                 "EP": engines.EP, "Iterative": engines.Iterative}
         if isinstance(newInf, str):
             if newInf not in table:
                 raise ValueError(f"unknown inference {newInf!r}")

@@ -66,6 +66,42 @@ def test_dist_iterative_gradients_close():
     assert np.allclose(g_it, g_ref, rtol=0.15, atol=0.3)
 
 
+def test_model_iterative_engine_end_to_end():
+    """GPR.useInference('Iterative'): posterior/predict/optimize parity."""
+    rng = np.random.default_rng(0)
+    n = 200
+    x = np.linspace(-4, 4, n)[:, None]
+    y = np.sin(x[:, 0]) + 0.1 * rng.standard_normal(n)
+    xs = np.linspace(-4.5, 4.5, 97)[:, None]
+
+    m1 = pg.GPR()
+    m1.setData(x, y)
+    nl1, _, _ = m1.getPosterior()
+    ym1, ys1, _, _, _ = m1.predict(xs)
+
+    m2 = pg.GPR()
+    m2.setData(x, y)
+    m2.useInference("Iterative")
+    nl2, _, _ = m2.getPosterior()
+    ym2, ys2, _, _, _ = m2.predict(xs)
+
+    # CG solves are exact to tol; SLQ on the preconditioned operator is
+    # near-exact because rank-100 >= numerical rank here
+    assert abs(float(nl1) - float(nl2)) / abs(float(nl1)) < 1e-3
+    assert np.allclose(np.asarray(ym1), np.asarray(ym2), atol=1e-8)
+    assert np.allclose(np.asarray(ys1), np.asarray(ys2), atol=1e-8)
+
+    m2.optimize(numIterations=10)
+    nl3, _, _ = m2.getPosterior()
+    assert float(nl3) < float(nl2)
+
+    import pytest
+    mc = pg.GPC().useInference("Iterative")
+    mc.setData(np.asarray(x), np.sign(y))
+    with pytest.raises(TypeError):
+        mc.getPosterior()
+
+
 def test_dist_posterior_mean_matches_dense():
     mean, kern, lik, x, y = _problem()
     eng = DistributedIterative(col_chunks=8, precond_rank=40,
