@@ -82,24 +82,35 @@ def run():
     base_eps = 1.0 / t_base
 
     # ---- ours (jitted value_and_grad on the default device) ----
+    # The workload is a real gradient-descent loop (each NLML+grad eval at
+    # a different hyp point, sequentially dependent) scanned inside ONE jit
+    # call: this measures steady-state device throughput rather than the
+    # per-dispatch latency floor of the axon tunnel (~5 ms/call), exactly
+    # as an optimizer drives the engine (optimize/optimizers.py).
     dtype = jnp.float32
     x = jnp.asarray(x_np, dtype=dtype)
     y = jnp.asarray(y_np, dtype=dtype)
     prior = (pg.mean.Zero(), pg.cov.RBF(0.0, 0.0), pg.lik.Gauss(-1.0))
+    inner = 20  # NLML+grad evals per dispatch
+
+    vg = jax.value_and_grad(lambda pr: exact.nlml(pr[0], pr[1], pr[2], x, y))
 
     @jax.jit
-    def step(prior):
-        return jax.value_and_grad(
-            lambda pr: exact.nlml(pr[0], pr[1], pr[2], x, y))(prior)
+    def descend(prior):
+        def step(pr, _):
+            v, g = vg(pr)
+            pr = jax.tree.map(lambda p, gi: p - 1e-3 * gi, pr, g)
+            return pr, v
+        return jax.lax.scan(step, prior, None, length=inner)
 
-    v, g = step(prior)          # compile
-    jax.block_until_ready((v, g))
-    reps = 10
+    out = descend(prior)          # compile
+    jax.block_until_ready(out)
+    reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
-        v, g = step(prior)
-    jax.block_until_ready((v, g))
-    t_ours = (time.perf_counter() - t0) / reps
+        out = descend(prior)
+    jax.block_until_ready(out)
+    t_ours = (time.perf_counter() - t0) / (reps * inner)
     ours_eps = 1.0 / t_ours
 
     print(json.dumps({

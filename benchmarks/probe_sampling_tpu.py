@@ -1,0 +1,158 @@
+"""Real-TPU probes for the remaining BASELINE.md report metrics:
+
+1. NUTS hyperparameter sampling throughput, 256 chains vmapped on one
+   chip (BASELINE configs[4] / "NUTS samples/s" metric @ 1 chip).
+2. FITC sparse GPR at the configs[3] scale: n=100k synthetic, m=512
+   inducing — NLML+grad wall-clock (O(n·m²) structured path).
+3. Iterative (preconditioned CG + SLQ) exact NLML+grad at n=32768 —
+   the regime where the dense Cholesky engine stops being practical.
+
+Run WITHOUT platform overrides (uses the tunneled v5e chip, f32).
+Each probe prints one JSON line and is independently fault-isolated.
+"""
+
+import json
+import sys
+import time
+import traceback
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).resolve().parent.parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def probe(name):
+    def deco(fn):
+        def run():
+            try:
+                t0 = time.perf_counter()
+                rec = fn()
+                rec["probe"] = name
+                rec["total_s"] = round(time.perf_counter() - t0, 1)
+                print(json.dumps(rec), flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"probe": name, "error": repr(e)}),
+                      flush=True)
+                traceback.print_exc()
+        return run
+    return deco
+
+
+@probe("nuts_256_chains_1chip")
+def nuts_probe():
+    import pygps_tpu as pg
+
+    rng = np.random.default_rng(0)
+    n, chains, warmup, samples = 256, 256, 100, 100
+    x = np.linspace(-3, 3, n)[:, None].astype(np.float32)
+    y = (np.sin(x[:, 0]) + 0.1 * rng.standard_normal(n)).astype(np.float32)
+    m = pg.GPR()
+    m.setData(x, y)
+
+    # chunked dispatch: one monolithic 256-chain × 200-step × 2^6-leapfrog
+    # scan exceeds the tunnel's per-execution limit (observed device fault)
+    t0 = time.perf_counter()
+    s, stats = m.sample(num_samples=samples, num_warmup=warmup,
+                        num_chains=chains, seed=0, max_depth=6,
+                        chunk_size=20)
+    jax.block_until_ready(s)
+    t_first = time.perf_counter() - t0
+    # second run = steady state (persistent compile cache)
+    t0 = time.perf_counter()
+    s, stats = m.sample(num_samples=samples, num_warmup=warmup,
+                        num_chains=chains, seed=1, max_depth=6,
+                        chunk_size=20)
+    jax.block_until_ready(s)
+    dt = time.perf_counter() - t0
+    total_draws = samples * chains
+    return {
+        "n": n, "chains": chains, "warmup": warmup, "samples": samples,
+        "wall_s": round(dt, 2), "compile_plus_first_s": round(t_first, 1),
+        # wall includes the (equal-length) warmup phase; draw-phase rate
+        # counts warmup iterations as the same kernel
+        "samples_per_s_incl_warmup": round(total_draws / dt, 1),
+        "samples_per_s_draw_phase": round((samples + warmup) * chains / dt, 1),
+        "accept": round(float(np.asarray(stats["accept_prob"]).mean()), 3),
+    }
+
+
+@probe("fitc_nlml_grad_n100k_m512")
+def fitc_probe():
+    import pygps_tpu as pg
+    from pygps_tpu.inference import fitc
+
+    rng = np.random.default_rng(1)
+    n, m_ind, d = 100_000, 512, 4
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    y = jnp.asarray(np.sin(np.asarray(x)[:, 0])
+                    + 0.1 * rng.standard_normal(n), jnp.float32)
+    u = jnp.asarray(rng.standard_normal((m_ind, d)), jnp.float32)
+    kern = pg.cov.FITC(pg.cov.RBF(0.0, 0.0), u)
+    prior = (pg.mean.Zero(), kern, pg.lik.Gauss(-1.0))
+
+    @jax.jit
+    def step(prior):
+        return jax.value_and_grad(
+            lambda pr: fitc.exact_nlml(pr[0], pr[1], pr[2], x, y))(prior)
+
+    v, g = step(prior)
+    jax.block_until_ready((v, g))
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        v, g = step(prior)
+    jax.block_until_ready((v, g))
+    dt = (time.perf_counter() - t0) / reps
+    return {"n": n, "m": m_ind, "d": d, "ms_per_eval": round(dt * 1e3, 1),
+            "evals_per_s": round(1.0 / dt, 2), "nlZ": float(v)}
+
+
+@probe("iterative_nlml_grad_n32768")
+def iterative_probe():
+    import pygps_tpu as pg
+    from pygps_tpu.inference import iterative
+
+    rng = np.random.default_rng(2)
+    n, d = 32_768, 4
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    y = jnp.asarray(np.sin(np.asarray(x)[:, 0])
+                    + 0.1 * rng.standard_normal(n), jnp.float32)
+    prior = (pg.mean.Zero(), pg.cov.RBF(0.0, 0.0), pg.lik.Gauss(-1.0))
+
+    @jax.jit
+    def step(prior):
+        return jax.value_and_grad(
+            lambda pr: iterative.nlml(pr[0], pr[1], pr[2], x, y,
+                                      num_probes=8, lanczos_iters=20,
+                                      cg_tol=1e-4, cg_iters=128,
+                                      precond_rank=128))(prior)
+
+    v, g = step(prior)
+    jax.block_until_ready((v, g))
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        v, g = step(prior)
+    jax.block_until_ready((v, g))
+    dt = (time.perf_counter() - t0) / reps
+    return {"n": n, "d": d, "ms_per_eval": round(dt * 1e3, 1),
+            "nlZ": float(v)}
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    table = {"nuts": nuts_probe, "fitc": fitc_probe,
+             "iterative": iterative_probe}
+    if which == "all":
+        for fn in table.values():
+            fn()
+    else:
+        table[which]()

@@ -192,18 +192,8 @@ def nuts_kernel(logp_fn, q0, key, eps, inv_mass, max_depth=8):
     return ts.q_prop, accept_stat, ts.diverged, ts.depth
 
 
-def sample_nuts(logp_fn, q0, key, num_warmup=300, num_samples=300,
-                max_depth=8, eps0=0.1, target_accept=0.8,
-                cross_chain_mean=None, warm_state=None):
-    """Adaptive NUTS for a batch of chains (q0: (C, dim)).
-
-    Warmup adapts step size (dual averaging on the cross-chain mean accept
-    statistic — pass a psum-mean via ``cross_chain_mean`` when chains are
-    sharded) and a diagonal mass matrix (Welford over all chains).
-    Returns (samples (T, C, dim), stats dict).
-    """
-    C, dim = q0.shape
-    ccm = cross_chain_mean or (lambda x: jnp.mean(x))
+def _make_steps(logp_fn, C, ccm, max_depth, target_accept):
+    """Shared scan bodies for the one-shot and chunked drivers."""
     kern = jax.vmap(nuts_kernel, in_axes=(None, 0, 0, None, None, None))
 
     def warm_step(carry, key_t):
@@ -227,6 +217,24 @@ def sample_nuts(logp_fn, q0, key, num_warmup=300, num_samples=300,
         q, ap, div, depth = kern(logp_fn, q, keys, eps, inv_mass, max_depth)
         return (q, eps, inv_mass), (q, ap, div)
 
+    return warm_step, draw_step
+
+
+def sample_nuts(logp_fn, q0, key, num_warmup=300, num_samples=300,
+                max_depth=8, eps0=0.1, target_accept=0.8,
+                cross_chain_mean=None, warm_state=None):
+    """Adaptive NUTS for a batch of chains (q0: (C, dim)).
+
+    Warmup adapts step size (dual averaging on the cross-chain mean accept
+    statistic — pass a psum-mean via ``cross_chain_mean`` when chains are
+    sharded) and a diagonal mass matrix (Welford over all chains).
+    Returns (samples (T, C, dim), stats dict).
+    """
+    C, dim = q0.shape
+    ccm = cross_chain_mean or (lambda x: jnp.mean(x))
+    warm_step, draw_step = _make_steps(logp_fn, C, ccm, max_depth,
+                                       target_accept)
+
     k_warm, k_draw = jax.random.split(key)
     if warm_state is not None:
         # resume: adaptation state from a checkpoint, no re-warmup
@@ -244,3 +252,68 @@ def sample_nuts(logp_fn, q0, key, num_warmup=300, num_samples=300,
     return samples, {"accept_prob": accept, "divergences": div,
                      "step_size": eps, "inv_mass": inv_mass,
                      "q_final": q_final}
+
+
+def sample_nuts_chunked(logp_fn, q0, key, num_warmup=300, num_samples=300,
+                        chunk_size=32, max_depth=8, eps0=0.1,
+                        target_accept=0.8, cross_chain_mean=None,
+                        warm_state=None):
+    """``sample_nuts`` split into fixed-size device dispatches.
+
+    One monolithic scan over warmup+draws is a single XLA execution whose
+    runtime grows with C·T·2^max_depth; past a point that trips device /
+    tunnel execution limits and pins the host for its whole duration.
+    This driver runs the identical scan bodies in a Python loop of
+    ``chunk_size``-iteration jitted chunks (2 compiles total; warmup and
+    draw counts are rounded UP to whole chunks, extra draws trimmed), so
+    every dispatch is short, interruptible, and checkpointable between
+    chunks.  Sampling-identical to ``sample_nuts`` given the same chunk
+    boundaries' key split (keys are pre-split once, as in the one-shot
+    driver).
+    """
+    C, dim = q0.shape
+    ccm = cross_chain_mean or (lambda x: jnp.mean(x))
+    warm_step, draw_step = _make_steps(logp_fn, C, ccm, max_depth,
+                                       target_accept)
+    warm_scan = jax.jit(lambda c, ks: lax.scan(warm_step, c, ks)[0])
+
+    @jax.jit
+    def draw_scan(c, ks):
+        return lax.scan(draw_step, c, ks)
+
+    def ceil_chunks(n):
+        return max(1, -(-n // chunk_size))
+
+    k_warm, k_draw = jax.random.split(key)
+    if warm_state is not None:
+        eps, inv_mass = warm_state
+        q = q0
+    else:
+        da = dual_averaging_init(jnp.asarray(eps0, q0.dtype))
+        wf = welford_init(dim, q0.dtype)
+        nw = ceil_chunks(num_warmup)
+        wkeys = jax.random.split(k_warm, nw * chunk_size)
+        carry = (q0, da, wf)
+        for c in range(nw):
+            carry = warm_scan(carry, wkeys[c * chunk_size:(c + 1) * chunk_size])
+            jax.block_until_ready(carry[0])
+        q, da, wf = carry
+        eps = jnp.exp(da.log_eps_bar)
+        inv_mass = welford_var(wf)
+    nd = ceil_chunks(num_samples)
+    dkeys = jax.random.split(k_draw, nd * chunk_size)
+    carry = (q, eps, inv_mass)
+    samples, accept, div = [], [], []
+    for c in range(nd):
+        carry, (s, a, dv) = draw_scan(
+            carry, dkeys[c * chunk_size:(c + 1) * chunk_size])
+        jax.block_until_ready(s)
+        samples.append(s)
+        accept.append(a)
+        div.append(dv)
+    samples = jnp.concatenate(samples)[:num_samples]
+    accept = jnp.concatenate(accept)[:num_samples]
+    div = jnp.concatenate(div)[:num_samples]
+    return samples, {"accept_prob": accept, "divergences": div,
+                     "step_size": eps, "inv_mass": inv_mass,
+                     "q_final": carry[0]}

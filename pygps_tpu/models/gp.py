@@ -316,6 +316,12 @@ class GP:
             samples, stats = sample_nuts_sharded(
                 logp, q0, k_run, mesh, sampler=sampler,
                 num_warmup=num_warmup, num_samples=num_samples, **kwargs)
+        elif "chunk_size" in kwargs and sampler == "nuts":
+            # chunked dispatch: bounds per-call device time (tunnel/device
+            # execution limits at large C·T·2^depth) — see nuts.py
+            samples, stats = _nuts.sample_nuts_chunked(
+                logp, q0, k_run, num_warmup=num_warmup,
+                num_samples=num_samples, **kwargs)
         else:
             fn = _nuts.sample_nuts if sampler == "nuts" else _hmc.sample_hmc
             run = jax.jit(lambda q0, k: fn(

@@ -102,3 +102,35 @@ def test_sample_checkpoint_resume(tmp_path):
     # chains continue from the checkpointed state, not from scratch
     assert np.allclose(np.asarray(s2)[0].mean(0),
                        np.asarray(s1)[-5:].mean((0, 1)), atol=1.0)
+
+
+def test_chunked_nuts_matches_one_shot():
+    # chunk boundaries that divide warmup/draw counts reproduce the
+    # monolithic scan bitwise (same pre-split keys, same step bodies)
+    def logp(t):
+        return -0.5 * jnp.sum(t * t)
+
+    q0 = jax.random.normal(jax.random.PRNGKey(3), (4, 3))
+    key = jax.random.PRNGKey(7)
+    s1, st1 = jax.jit(lambda q, k: _nuts.sample_nuts(
+        logp, q, k, num_warmup=8, num_samples=8, max_depth=4))(q0, key)
+    s2, st2 = _nuts.sample_nuts_chunked(
+        logp, q0, key, num_warmup=8, num_samples=8, max_depth=4,
+        chunk_size=4)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(st1["step_size"]),
+                               np.asarray(st2["step_size"]), rtol=1e-6)
+
+
+def test_chunked_nuts_via_model_ragged_chunks():
+    # non-dividing chunk size: extra draws trimmed, still a valid run
+    rng = np.random.default_rng(0)
+    x = np.linspace(-2, 2, 24)[:, None]
+    y = np.sin(x[:, 0]) + 0.1 * rng.standard_normal(24)
+    m = pg.GPR()
+    m.setData(x, y)
+    s, stats = m.sample(num_samples=10, num_warmup=6, num_chains=2,
+                        seed=0, max_depth=4, chunk_size=4)
+    assert s.shape[0] == 10 and s.shape[1] == 2
+    assert np.isfinite(np.asarray(s)).all()
+    assert 0.0 < float(np.asarray(stats["accept_prob"]).mean()) <= 1.0
