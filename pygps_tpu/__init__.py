@@ -13,6 +13,18 @@ Top-level re-exports mirror the reference package root
 and the modules ``mean, cov, lik, inf, opt``.
 """
 
+import jax as _jax
+
+# True-f32 matmuls by default.  On TPU, f32 dot/conv inputs are otherwise
+# multiplied in bf16 (one MXU pass): the resulting ~1e-3 relative error is
+# catastrophic for Gram-matrix cancellation (‖x‖²+‖z‖²−2x·z can come out
+# indefinite at the 1e-2 level → Cholesky NaN at FITC/exact scales).  The
+# deliberate low-precision fast paths (e.g. pcholesky update_dtype=bf16)
+# cast operands to bf16 explicitly and are unaffected.  Respect a user's
+# own setting if one was made before import.
+if _jax.config.jax_default_matmul_precision is None:
+    _jax.config.update("jax_default_matmul_precision", "highest")
+
 from pygps_tpu.core import kernels as cov
 from pygps_tpu.core import likelihoods as lik
 from pygps_tpu.core import means as mean

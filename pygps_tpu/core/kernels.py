@@ -43,11 +43,12 @@ _FUSED_GRAM = {"enabled": False}
 
 
 def use_fused_gram(enabled: bool = True):
-    """Route RBF/RBFunit/Matern{1,3,5} Gram evaluations through the Pallas
-    fused kernel (ops/gram_pallas.py).  Opt-in: ~35% faster than the XLA
-    pipeline on TPU for large n, but the Pallas call is not vmappable —
-    leave disabled when vmapping NLML over hyperparameter batches (NUTS
-    chains use plain XLA regardless)."""
+    """Route RBF(+unit/ard)/Matern{1,3,5,7}/RQ(+ard) Gram evaluations
+    through the Pallas fused kernel (ops/gram_pallas.py); ARD variants
+    pre-scale inputs per-dimension and use the isotropic kernel at ℓ=1.
+    Opt-in: ~35% faster than the XLA pipeline on TPU for large n, but the
+    Pallas call is not vmappable — leave disabled when vmapping NLML over
+    hyperparameter batches (NUTS chains use plain XLA regardless)."""
     _FUSED_GRAM["enabled"] = bool(enabled)
 
 
@@ -96,7 +97,11 @@ class Kernel(Functor):
 
     def _train(self, x):
         K = self._cross(x, x)
-        return 0.5 * (K + K.T)
+        K = 0.5 * (K + K.T)
+        # pin the analytically exact diagonal: the f32 cancellation in
+        # sq_dist leaves O(eps·‖x‖²) on what must be K(x,x) exactly, and
+        # downstream jitter ladders are sensitive to it
+        return jnp.fill_diagonal(K, self._diag(x), inplace=False)
 
     def K(self, x, z):
         """Cross-covariance K(x, z), shape (n, m). Reference mode='cross'."""
@@ -229,6 +234,14 @@ class RBFard(Kernel):
         self.log_sigma = _p(log_sigma)
 
     def _cross(self, x, z):
+        if _fused_enabled():
+            from pygps_tpu.ops.gram_pallas import fused_gram
+
+            # ARD = per-dimension input scaling + isotropic kernel at ℓ=1
+            s = jnp.exp(-self.log_ell)[None, :]
+            return fused_gram("rbf", x * s, z * s,
+                              jnp.asarray(1.0, x.dtype),
+                              jnp.exp(2.0 * self.log_sigma))
         ell = jnp.exp(self.log_ell)
         sf2 = jnp.exp(2.0 * self.log_sigma)
         return sf2 * jnp.exp(-0.5 * sq_dist(x / ell, z / ell))
@@ -263,7 +276,7 @@ class Matern(Kernel):
         self.d = int(d)
 
     def _cross(self, x, z):
-        if self.d in (1, 3, 5) and _fused_enabled():
+        if _fused_enabled():
             from pygps_tpu.ops.gram_pallas import fused_gram
 
             return fused_gram(f"matern{self.d}", x, z,
@@ -318,6 +331,12 @@ class RQ(Kernel):
         self.log_alpha = _p(log_alpha)
 
     def _cross(self, x, z):
+        if _fused_enabled():
+            from pygps_tpu.ops.gram_pallas import fused_gram
+
+            return fused_gram("rq", x, z, jnp.exp(-2.0 * self.log_ell),
+                              jnp.exp(2.0 * self.log_sigma),
+                              jnp.exp(self.log_alpha))
         ell = jnp.exp(self.log_ell)
         sf2 = jnp.exp(2.0 * self.log_sigma)
         alpha = jnp.exp(self.log_alpha)
@@ -343,6 +362,14 @@ class RQard(Kernel):
         self.log_alpha = _p(log_alpha)
 
     def _cross(self, x, z):
+        if _fused_enabled():
+            from pygps_tpu.ops.gram_pallas import fused_gram
+
+            s = jnp.exp(-self.log_ell)[None, :]
+            return fused_gram("rq", x * s, z * s,
+                              jnp.asarray(1.0, x.dtype),
+                              jnp.exp(2.0 * self.log_sigma),
+                              jnp.exp(self.log_alpha))
         ell = jnp.exp(self.log_ell)
         sf2 = jnp.exp(2.0 * self.log_sigma)
         alpha = jnp.exp(self.log_alpha)

@@ -36,22 +36,23 @@ def _on_tpu():
         return False
 
 
-def _apply_kind(kind, d2, sf2):
+def _apply_kind(kind, d2, sf2, alpha):
     """k(d2) for squared distance d2 (already lengthscale-scaled)."""
     if kind == "rbf":
         return sf2 * jnp.exp(-0.5 * d2)
-    t = jnp.sqrt({"matern1": 1.0, "matern3": 3.0, "matern5": 5.0}.get(kind, 1.0)
-                 * d2 + 1e-36)
+    t = jnp.sqrt({"matern1": 1.0, "matern3": 3.0, "matern5": 5.0,
+                  "matern7": 7.0}.get(kind, 1.0) * d2 + 1e-36)
     if kind == "matern1":
         return sf2 * jnp.exp(-t)
     if kind == "matern3":
         return sf2 * (1.0 + t) * jnp.exp(-t)
     if kind == "matern5":
         return sf2 * (1.0 + t + t * t / 3.0) * jnp.exp(-t)
+    if kind == "matern7":
+        t2 = t * t
+        return sf2 * (1.0 + t + 0.4 * t2 + t2 * t / 15.0) * jnp.exp(-t)
     if kind == "rq":
-        # alpha folded into sf2 path? 'rq' uses alpha=1 here; general RQ
-        # stays on the XLA path.
-        return sf2 / (1.0 + 0.5 * d2)
+        return sf2 * jnp.exp(-alpha * jnp.log1p(0.5 * d2 / alpha))
     raise ValueError(kind)
 
 
@@ -60,21 +61,23 @@ def _tile_kernel(kind, x_ref, z_ref, scal_ref, out_ref):
     zj = z_ref[...]
     inv_ell2 = scal_ref[0, 0]
     sf2 = scal_ref[0, 1]
+    alpha = scal_ref[0, 2]
     xn = jnp.sum(xi * xi, axis=1)[:, None]
     zn = jnp.sum(zj * zj, axis=1)[None, :]
     cross = jax.lax.dot_general(
         xi, zj, dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
     d2 = jnp.maximum(xn + zn - 2.0 * cross, 0.0) * inv_ell2
-    out_ref[...] = _apply_kind(kind, d2, sf2).astype(out_ref.dtype)
+    out_ref[...] = _apply_kind(kind, d2, sf2, alpha).astype(out_ref.dtype)
 
 
-def _pallas_gram(kind, x, z, inv_ell2, sf2, interpret):
+def _pallas_gram(kind, x, z, inv_ell2, sf2, alpha, interpret):
     n, d = x.shape
     m = z.shape[0]
     bm, bn = min(_BM, n), min(_BN, m)
     grid = (pl.cdiv(n, bm), pl.cdiv(m, bn))
-    scal = jnp.stack([inv_ell2, sf2]).astype(jnp.float32)[None, :]
+    scal = jnp.stack([inv_ell2, sf2, alpha]).astype(jnp.float32)[None, :]
     return pl.pallas_call(
         functools.partial(_tile_kernel, kind),
         out_shape=jax.ShapeDtypeStruct((n, m), x.dtype),
@@ -84,7 +87,7 @@ def _pallas_gram(kind, x, z, inv_ell2, sf2, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bn, d), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2), lambda i, j: (0, 0),
+            pl.BlockSpec((1, 3), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
@@ -93,36 +96,41 @@ def _pallas_gram(kind, x, z, inv_ell2, sf2, interpret):
     )(x, z, scal)
 
 
-def _xla_gram(kind, x, z, inv_ell2, sf2):
+def _xla_gram(kind, x, z, inv_ell2, sf2, alpha):
     xn = jnp.sum(x * x, axis=1)[:, None]
     zn = jnp.sum(z * z, axis=1)[None, :]
     d2 = jnp.maximum(xn + zn - 2.0 * (x @ z.T), 0.0) * inv_ell2
-    return _apply_kind(kind, d2, sf2)
+    return _apply_kind(kind, d2, sf2, alpha)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def fused_gram(kind, x, z, inv_ell2, sf2):
+def fused_gram(kind, x, z, inv_ell2, sf2, alpha=1.0):
     """K(x, z) for an isotropic stationary kernel.
 
-    inv_ell2 = 1/ℓ², sf2 = signal variance (both positive scalars).
+    inv_ell2 = 1/ℓ², sf2 = signal variance (both positive scalars);
+    alpha is the RQ shape parameter (ignored by other kinds).
     Pallas on TPU, interpret/XLA elsewhere; gradients analytic via XLA.
+    ARD kernels reduce to this by pre-scaling inputs per-dimension.
     """
+    alpha = jnp.asarray(alpha, x.dtype)
     if _on_tpu():
-        return _pallas_gram(kind, x, z, inv_ell2, sf2, interpret=False)
-    return _xla_gram(kind, x, z, inv_ell2, sf2)
+        return _pallas_gram(kind, x, z, inv_ell2, sf2, alpha,
+                            interpret=False)
+    return _xla_gram(kind, x, z, inv_ell2, sf2, alpha)
 
 
-def _fwd(kind, x, z, inv_ell2, sf2):
-    return fused_gram(kind, x, z, inv_ell2, sf2), (x, z, inv_ell2, sf2)
+def _fwd(kind, x, z, inv_ell2, sf2, alpha=1.0):
+    return fused_gram(kind, x, z, inv_ell2, sf2, alpha), (
+        x, z, inv_ell2, sf2, jnp.asarray(alpha, x.dtype))
 
 
 def _bwd(kind, res, gbar):
-    x, z, inv_ell2, sf2 = res
+    x, z, inv_ell2, sf2, alpha = res
 
-    def f(x_, z_, i_, s_):
-        return _xla_gram(kind, x_, z_, i_, s_)
+    def f(x_, z_, i_, s_, a_):
+        return _xla_gram(kind, x_, z_, i_, s_, a_)
 
-    _, vjp = jax.vjp(f, x, z, inv_ell2, sf2)
+    _, vjp = jax.vjp(f, x, z, inv_ell2, sf2, alpha)
     return vjp(gbar)
 
 
@@ -130,21 +138,38 @@ fused_gram.defvjp(_fwd, _bwd)
 
 
 def cross_fused(kernel, x, z):
-    """Fused `_cross` for RBF/RBFunit/Matern kernels; falls back to the
-    kernel's own implementation for unsupported classes."""
+    """Fused `_cross` for RBF(+unit/ard)/Matern/RQ(+ard) kernels; falls
+    back to the kernel's own implementation for unsupported classes."""
     from pygps_tpu.core import kernels as cov
 
+    one = jnp.asarray(1.0, x.dtype)
     if isinstance(kernel, cov.RBF):
         inv_ell2 = jnp.exp(-2.0 * kernel.log_ell)
         sf2 = jnp.exp(2.0 * kernel.log_sigma)
         return fused_gram("rbf", x, z, inv_ell2, sf2)
     if isinstance(kernel, cov.RBFunit):
         inv_ell2 = jnp.exp(-2.0 * kernel.log_ell)
-        return fused_gram("rbf", x, z, inv_ell2, jnp.asarray(1.0, x.dtype))
+        return fused_gram("rbf", x, z, inv_ell2, one)
+    if isinstance(kernel, cov.RBFard):
+        # ARD = per-dimension input scaling + isotropic kernel at ℓ=1
+        s = jnp.exp(-kernel.log_ell)[None, :]
+        sf2 = jnp.exp(2.0 * kernel.log_sigma)
+        return fused_gram("rbf", x * s, z * s, one, sf2)
     if isinstance(kernel, cov.Matern):
         inv_ell2 = jnp.exp(-2.0 * kernel.log_ell)
         sf2 = jnp.exp(2.0 * kernel.log_sigma)
-        kind = {1: "matern1", 3: "matern3", 5: "matern5"}.get(kernel.d)
+        kind = {1: "matern1", 3: "matern3", 5: "matern5",
+                7: "matern7"}.get(kernel.d)
         if kind is not None:
             return fused_gram(kind, x, z, inv_ell2, sf2)
+    if isinstance(kernel, cov.RQard):
+        s = jnp.exp(-kernel.log_ell)[None, :]
+        sf2 = jnp.exp(2.0 * kernel.log_sigma)
+        alpha = jnp.exp(kernel.log_alpha)
+        return fused_gram("rq", x * s, z * s, one, sf2, alpha)
+    if isinstance(kernel, cov.RQ):
+        inv_ell2 = jnp.exp(-2.0 * kernel.log_ell)
+        sf2 = jnp.exp(2.0 * kernel.log_sigma)
+        alpha = jnp.exp(kernel.log_alpha)
+        return fused_gram("rq", x, z, inv_ell2, sf2, alpha)
     return kernel._cross(x, z)

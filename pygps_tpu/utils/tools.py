@@ -113,10 +113,15 @@ def sq_dist(x: jax.Array, z: jax.Array) -> jax.Array:
 
     MXU-friendly: the cross term is a single matmul; norms broadcast.
     Clamped at zero against catastrophic cancellation (important in f32).
+    The cross term is pinned to HIGHEST precision regardless of the global
+    matmul default: a bf16-multiplied cross term makes the cancellation
+    indefinite at the 1e-2 level (Cholesky NaNs); d is small, so true-f32
+    passes cost nothing here.
     """
     xn = jnp.sum(x * x, axis=-1)
     zn = jnp.sum(z * z, axis=-1)
-    d2 = xn[:, None] + zn[None, :] - 2.0 * (x @ z.T)
+    cross = jnp.matmul(x, z.T, precision=lax.Precision.HIGHEST)
+    d2 = xn[:, None] + zn[None, :] - 2.0 * cross
     return jnp.maximum(d2, 0.0)
 
 

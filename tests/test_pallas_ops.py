@@ -25,17 +25,43 @@ Z = jnp.asarray(rng.standard_normal((M, D)), dtype=jnp.float32)
     (pg.cov.Matern(0.3, 0.2, d=1), "matern1"),
     (pg.cov.Matern(0.3, 0.2, d=3), "matern3"),
     (pg.cov.Matern(0.3, 0.2, d=5), "matern5"),
+    (pg.cov.Matern(0.3, 0.2, d=7), "matern7"),
 ])
 def test_fused_matches_kernel_object(kern, kind):
     inv_ell2 = jnp.exp(-2.0 * kern.log_ell).astype(jnp.float32)
     sf2 = jnp.exp(2.0 * kern.log_sigma).astype(jnp.float32)
+    one = jnp.asarray(1.0, jnp.float32)
     ref = np.asarray(kern._cross(X, Z))
     out = np.asarray(gp.fused_gram(kind, X, Z, inv_ell2, sf2))
     assert np.allclose(out, ref, atol=1e-4)
     # interpret-mode Pallas program (exercises the real tile kernel)
-    out_i = np.asarray(gp._pallas_gram(kind, X, Z, inv_ell2, sf2,
+    out_i = np.asarray(gp._pallas_gram(kind, X, Z, inv_ell2, sf2, one,
                                        interpret=True))
     assert np.allclose(out_i, ref, atol=1e-4)
+
+
+def test_fused_rq_general_alpha():
+    kern = pg.cov.RQ(0.3, 0.2, 0.5)
+    inv_ell2 = jnp.exp(-2.0 * kern.log_ell).astype(jnp.float32)
+    sf2 = jnp.exp(2.0 * kern.log_sigma).astype(jnp.float32)
+    alpha = jnp.exp(kern.log_alpha).astype(jnp.float32)
+    ref = np.asarray(kern._cross(X, Z))
+    out = np.asarray(gp.fused_gram("rq", X, Z, inv_ell2, sf2, alpha))
+    assert np.allclose(out, ref, atol=1e-4)
+    out_i = np.asarray(gp._pallas_gram("rq", X, Z, inv_ell2, sf2, alpha,
+                                       interpret=True))
+    assert np.allclose(out_i, ref, atol=1e-4)
+
+
+@pytest.mark.parametrize("kern", [
+    pg.cov.RBFard(np.linspace(-0.3, 0.4, D), 0.2),
+    pg.cov.RQard(np.linspace(-0.3, 0.4, D), 0.2, 0.5),
+])
+def test_cross_fused_ard_prescaling(kern):
+    # ARD routes through the isotropic fused kernel via input pre-scaling
+    ref = np.asarray(kern._cross(X, Z))
+    out = np.asarray(gp.cross_fused(kern, X, Z))
+    assert np.allclose(out, ref, atol=1e-4)
 
 
 def test_fused_gram_gradients():
