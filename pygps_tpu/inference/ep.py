@@ -56,6 +56,12 @@ def _moments_from_sites(ops, m, ttau, tnu):
 
 def _energy(ops, m, lik, y, ttau, tnu):
     sig, mu, aux = _moments_from_sites(ops, m, ttau, tnu)
+    return _energy_from(ops, m, lik, y, ttau, tnu, sig, mu, aux)
+
+
+def _energy_from(ops, m, lik, y, ttau, tnu, sig, mu, aux):
+    """EP energy given the already-computed q-moments/factorization for
+    these sites (saves the second per-sweep factorization)."""
     tau_n = 1.0 / sig - ttau
     nu_n = mu / sig - tnu
     v0 = 1.0 / tau_n
@@ -80,8 +86,7 @@ def _ep_sweeps(ops, m, lik, y, ttau0, tnu0):
     verify-tagged); successful sweeps relax the damping back up."""
 
     def sweep(carry):
-        ttau, tnu, nlZ_old, dn, it, damp = carry
-        sig, mu, _ = _moments_from_sites(ops, m, ttau, tnu)
+        ttau, tnu, sig, mu, aux, nlZ_old, dn, it, damp = carry
         tau_n = jnp.maximum(1.0 / sig - ttau, 1e-10)   # cavity precision
         nu_n = mu / sig - tnu
         v0 = 1.0 / tau_n
@@ -93,28 +98,42 @@ def _ep_sweeps(ops, m, lik, y, ttau0, tnu0):
         tnu_new = (dlZ - m0 * d2lZ) / denom
         ttau_prop = (1.0 - damp) * ttau + damp * ttau_new
         tnu_prop = (1.0 - damp) * tnu + damp * tnu_new
-        nlZ_prop = _energy(ops, m, lik, y, ttau_prop, tnu_prop)
+        # the sweep's single factorization: moments of the PROPOSED sites
+        # serve both the energy check and (on acceptance) the next sweep
+        sig_p, mu_p, aux_p = _moments_from_sites(ops, m, ttau_prop,
+                                                 tnu_prop)
+        nlZ_prop = _energy_from(ops, m, lik, y, ttau_prop, tnu_prop,
+                                sig_p, mu_p, aux_p)
         worse = jnp.logical_and(jnp.isfinite(nlZ_old),
                                 ~(nlZ_prop < nlZ_old + 0.1))
         worse = jnp.logical_or(worse, ~jnp.isfinite(nlZ_prop))
-        ttau = jnp.where(worse, ttau, ttau_prop)
-        tnu = jnp.where(worse, tnu, tnu_prop)
-        nlZ = jnp.where(worse, nlZ_old, nlZ_prop)
+
+        def sel(a, b):
+            return jnp.where(worse, a, b)
+
+        ttau = sel(ttau, ttau_prop)
+        tnu = sel(tnu, tnu_prop)
+        sig = sel(sig, sig_p)
+        mu = sel(mu, mu_p)
+        aux = jax.tree_util.tree_map(sel, aux, aux_p)
+        nlZ = sel(nlZ_old, nlZ_prop)
         dn_new = jnp.where(worse, jnp.asarray(jnp.inf, m.dtype),
                            jnp.abs(nlZ_prop - nlZ_old))
         damp = jnp.where(worse, jnp.maximum(damp * 0.5, 0.05),
                          jnp.minimum(damp * 1.1, _DAMP))
-        return ttau, tnu, nlZ, dn_new, it + 1, damp
+        return ttau, tnu, sig, mu, aux, nlZ, dn_new, it + 1, damp
 
     def cond(carry):
-        _, _, nlZ, dn, it, _ = carry
+        nlZ, dn, it = carry[5], carry[6], carry[7]
         not_converged = jnp.logical_or(dn > _TOL, it < _MIN_SWEEPS)
         return jnp.logical_and(not_converged, it < _MAX_SWEEPS)
 
-    init = (ttau0, tnu0, jnp.asarray(jnp.inf, m.dtype),
+    sig0, mu0, aux0 = _moments_from_sites(ops, m, ttau0, tnu0)
+    init = (ttau0, tnu0, sig0, mu0, aux0, jnp.asarray(jnp.inf, m.dtype),
             jnp.asarray(jnp.inf, m.dtype), 0,
             jnp.asarray(_DAMP, m.dtype))
-    ttau, tnu, nlZ, _, it, _ = lax.while_loop(cond, sweep, init)
+    out = lax.while_loop(cond, sweep, init)
+    ttau, tnu, nlZ, it = out[0], out[1], out[5], out[7]
     return ttau, tnu, nlZ, it
 
 
