@@ -112,8 +112,11 @@ def _nlml_bwd(seed, num_probes, lanczos_iters, cg_cfg, res, g):
     Z = jax.random.rademacher(key, (n, num_probes), dtype=K.dtype)
     solver, _ = _make_solver(K, sn2, cg_cfg)
     W = solver(Z)
-    # E[K̃⁻¹] estimator: W Zᵀ / P (symmetrized); tr(K̃⁻¹ ∂K̃) = E[zᵀK̃⁻¹ ∂K̃ z]
-    Kbar = g * 0.5 * ((W @ Z.T + Z @ W.T) / (2.0 * num_probes)
+    # E[K̃⁻¹] estimator: W Zᵀ / P; tr(K̃⁻¹ ∂K̃) = E[zᵀK̃⁻¹ ∂K̃ z].  No
+    # explicit symmetrization: ⟨WZᵀ, D⟩ = ⟨ZWᵀ, D⟩ for symmetric D
+    # (zᵀDw = wᵀDz), and every ∂K̃/∂θ is symmetric — saves one n×n
+    # buffer at the scales where this path exists (HBM peak gates n)
+    Kbar = g * 0.5 * (W @ Z.T / num_probes
                       - alpha[:, None] * alpha[None, :])
     trKinv = jnp.sum(W * Z) / num_probes
     sn2_bar = g * 0.5 * (trKinv - jnp.dot(alpha, alpha))
@@ -133,7 +136,10 @@ def nlml(mean, kernel, lik, x, y, seed=0, num_probes=16, lanczos_iters=25,
     preconditioner (utils/pchol.py): CG converges in far fewer iterations
     on smooth kernels, and SLQ runs on the preconditioned operator with
     the exact log det P added back."""
-    K = kernel.Ktrain(x)
+    # raw cross-Gram, not Ktrain: CG/SLQ tolerate the 1e-7-level asymmetry
+    # and diagonal rounding, and skipping the symmetrize + diagonal-pin
+    # avoids two extra n×n buffers in the VJP (HBM peak gates n here)
+    K = kernel._cross(x, x)
     m = mean(x)
     sn2 = jnp.exp(2.0 * lik.log_sigma)
     return _nlml_core(K, m, sn2, y, seed, num_probes, lanczos_iters,
@@ -198,7 +204,7 @@ def evaluate(mean, kernel, lik, x, y, seed=0, num_probes=16,
     if not isinstance(lik, Gauss):
         raise TypeError("iterative exact inference requires lik.Gauss "
                         "(use Laplace/EP engines for other likelihoods)")
-    K = kernel.Ktrain(x)
+    K = kernel._cross(x, x)
     sn2 = jnp.exp(2.0 * lik.log_sigma)
     r = y - mean(x)
     Lpc = _pchol_factor(K, precond_rank) if precond_rank > 0 else None
@@ -214,7 +220,7 @@ def evaluate(mean, kernel, lik, x, y, seed=0, num_probes=16,
 def posterior_solve(mean, kernel, lik, x, y, cg_tol=1e-8, cg_iters=512,
                     precond_rank=0):
     """alpha = K̃⁻¹(y − m) by (preconditioned) CG — exact posterior mean."""
-    K = kernel.Ktrain(x)
+    K = kernel._cross(x, x)
     sn2 = jnp.exp(2.0 * lik.log_sigma)
     r = y - mean(x)
     kw = {}

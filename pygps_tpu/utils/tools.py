@@ -35,9 +35,15 @@ def find_jitter(A: jax.Array, jitter0: float | None = None) -> jax.Array:
     eye = jnp.eye(n, dtype=A.dtype)
     scale = jnp.mean(jnp.diag(A))
     scale = jnp.where(scale <= 0, jnp.asarray(1.0, A.dtype), scale)
-    jit0 = jnp.asarray(
-        jitter0 if jitter0 is not None else config.JITTER_INIT_SCALE, A.dtype
-    ) * scale
+    if jitter0 is None:
+        # dtype-aware ladder start: below ~eps·scale a jitter is invisible
+        # to the arithmetic — in f32 the first rungs of the f64 ladder
+        # (1e-10·scale) waste factorizations and can land on a finite but
+        # inaccurate factor right at the margin
+        jitter0 = config.JITTER_INIT_SCALE
+        if A.dtype == jnp.float32:
+            jitter0 = max(jitter0, 1e-7)
+    jit0 = jnp.asarray(jitter0, A.dtype) * scale
 
     def ok_at(jit_amt):
         L = jnp.linalg.cholesky(A + jit_amt * eye)
