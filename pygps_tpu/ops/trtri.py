@@ -1,0 +1,86 @@
+"""Blocked triangular inverse and PSD inverse-from-Cholesky as GEMMs.
+
+Why this exists (TPU performance, not parity): the analytic NLML gradient
+(reference inf.Exact dnlZ assembly, inf.py:~180) needs the explicit
+inverse K̃⁻¹ = L⁻ᵀL⁻¹.  XLA's ``triangular_solve`` with an n×n RHS runs at
+~7 TF/s on v5e (MEASUREMENTS.md probe) — far below MXU GEMM rate — and
+``solve_chol(L, I)`` costs 2·n³ FLOPs of it.  Here we instead
+
+  1. invert L block-column-wise (``tril_inverse``): per block row one tiny
+     b×b triangular solve + one trailing GEMM — ~2n³/3 FLOPs, nearly all
+     of them MXU GEMM work;
+  2. form B⁻¹ = WᵀW column-block-wise exploiting W's triangularity
+     (``inv_from_chol``): Σⱼ 2·n·(n−j·b)·b ≈ n³ GEMM FLOPs (a dense
+     matmul would pay 2n³).
+
+Total ≈ 5n³/3 FLOPs at GEMM rate vs 2n³ at TRSM rate.  The block loops
+are Python-level (static shapes, unrolled under jit): nb = n/b stays
+small (≤ 32), so trace/compile cost is modest and every slice is static.
+
+Numerics: explicit-inverse accuracy is governed by cond(B) exactly as in
+the ``solve_chol(L, I)`` formulation it replaces (both compute the
+explicit inverse; neither is iterative-refinement grade).  Used on
+B = K/sn2 + I whose condition the jitter ladder already bounds.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_BLOCKS = (512, 256, 128, 64)
+
+
+def _pick_block(n: int) -> int | None:
+    for b in _BLOCKS:
+        if n % b == 0 and n > b:
+            return b
+    return None
+
+
+def tril_inverse(L: jax.Array, block: int | None = None) -> jax.Array:
+    """W = L⁻¹ for lower-triangular L, blocked so the O(n³) work is GEMMs.
+
+    Block row i of W:  W[i,i] = L[i,i]⁻¹;
+                       W[i,:i] = −L[i,i]⁻¹ · (L[i,:i] @ W[:i,:i]).
+    """
+    n = L.shape[-1]
+    b = block if block is not None else _pick_block(n)
+    if b is None or n <= b:
+        return lax.linalg.triangular_solve(
+            L, jnp.eye(n, dtype=L.dtype), left_side=True, lower=True)
+    nb = n // b
+    eye_b = jnp.eye(b, dtype=L.dtype)
+    W = jnp.zeros((n, n), dtype=L.dtype)
+    for i in range(nb):
+        Lii = L[i * b:(i + 1) * b, i * b:(i + 1) * b]
+        Wii = lax.linalg.triangular_solve(
+            Lii, eye_b, left_side=True, lower=True)
+        if i > 0:
+            Li_left = L[i * b:(i + 1) * b, :i * b]       # (b, i·b)
+            S = Li_left @ W[:i * b, :i * b]              # GEMM
+            W = W.at[i * b:(i + 1) * b, :i * b].set(-(Wii @ S))
+        W = W.at[i * b:(i + 1) * b, i * b:(i + 1) * b].set(Wii)
+    return W
+
+
+def inv_from_chol(L: jax.Array, block: int | None = None) -> jax.Array:
+    """B⁻¹ = L⁻ᵀ L⁻¹ from the lower Cholesky factor L, GEMM-dominated.
+
+    Column block j of B⁻¹ touches only rows ≥ j·b of W = L⁻¹:
+    B⁻¹[:, j] = W[j·b:, :]ᵀ @ W[j·b:, j·b:(j+1)·b].
+    """
+    n = L.shape[-1]
+    b = block if block is not None else _pick_block(n)
+    if b is None or n <= b:
+        W = lax.linalg.triangular_solve(
+            L, jnp.eye(n, dtype=L.dtype), left_side=True, lower=True)
+        return W.T @ W
+    W = tril_inverse(L, b)
+    nb = n // b
+    cols = []
+    for j in range(nb):
+        Wj = W[j * b:, j * b:(j + 1) * b]                # (n−j·b, b)
+        cols.append(W[j * b:, :].T @ Wj)                 # (n, b) GEMM
+    return jnp.concatenate(cols, axis=1)
