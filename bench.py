@@ -103,13 +103,17 @@ def run():
             return pr, v
         return jax.lax.scan(step, prior, None, length=inner)
 
+    # Sync discipline: over the axon tunnel, block_until_ready can return
+    # before the device finishes (measured: a 4096^3 matmul "took" 0.08 ms).
+    # A scalar device->host fetch is the only reliable barrier, so each
+    # timed rep ends with float(last nlZ value).
     out = descend(prior)          # compile
-    jax.block_until_ready(out)
+    float(out[1][-1])
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
         out = descend(prior)
-    jax.block_until_ready(out)
+        float(out[1][-1])
     t_ours = (time.perf_counter() - t0) / (reps * inner)
     ours_eps = 1.0 / t_ours
 

@@ -24,6 +24,19 @@ JITTER_MAX_TRIES = 8
 #: engines use snu2 = 1e-6 * sn2).
 FITC_JITTER_REL = 1e-6
 
+#: Backward pass of the exact-NLML analytic VJP: form K̃⁻¹ via the blocked
+#: GEMM-rate inverse (ops/trtri.py, ~5n³/3 FLOPs at MXU rate) instead of
+#: solve_chol(L, I) (2n³ FLOPs at the ~7 TF/s TRSM rate).  Same explicit
+#: inverse, same conditioning; toggle with :func:`use_gemm_inverse`.
+GEMM_INVERSE = False
+
+
+def use_gemm_inverse(enable: bool = True) -> None:
+    """Route the exact-engine analytic backward through the blocked
+    GEMM inverse (ops/trtri.py) instead of XLA triangular solves."""
+    global GEMM_INVERSE
+    GEMM_INVERSE = enable
+
 
 def default_dtype() -> jnp.dtype:
     """float64 when x64 is enabled (CPU parity mode), else float32 (TPU)."""

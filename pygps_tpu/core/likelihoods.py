@@ -238,6 +238,46 @@ class Laplace(Likelihood):
         b = self.b
         return -jnp.abs(y - f) / b - jnp.log(2.0 * b)
 
+    def _lZ_scalar(self, y, mu, s2):
+        """Analytic log ∫ Laplace(y|f,b) N(f|mu,s2) df (exponential–Gaussian
+        convolution), replacing the base GH quadrature: with a wide cavity
+        (√s2 ≫ b) all 32 Hermite nodes miss the width-b Laplace peak and the
+        quadrature lZ is off by thousands of nats — EP energies then go to
+        −10⁵ at extreme hyperparameters and the optimizer chases them
+        (reference lik.Laplace likewise integrates analytically).
+
+            Z = e^{s2/2b²}/(2b) · [ e^{−r/b} Φ((r − s2/b)/s)
+                                  + e^{ r/b} Φ(−(r + s2/b)/s) ],  r = y−mu.
+
+        Each term is computed as c + logΦ(z); for z ≪ 0 the two pieces
+        cancel catastrophically (both ~s2/2b², which overflows f32 at
+        moderate s2/b), so that branch uses the analytic identity
+        c − z²/2 = −r²/(2·s2) plus the Mills-ratio expansion of logΦ."""
+        b = self.b
+        s2 = jnp.maximum(s2, jnp.asarray(1e-20, mu.dtype))
+        s = jnp.sqrt(s2)
+        r = y - mu
+        v = s2 / b                       # appears in both terms
+        core = -r * r / (2.0 * s2)       # exact value of c − z²/2
+
+        def term(c, z):
+            # below the switch c and z²/2 are both ≤ 32 (c = z²/2 + core),
+            # so the direct form has no catastrophic cancellation; above it
+            # the expansion error is ≤ 945/8¹⁰ ≈ 1e-9 nats
+            switch = z < -8.0
+            z_safe = jnp.where(switch, -8.0, z)
+            normal = c + log_ndtr(z_safe)
+            zz = jnp.where(switch, z, -8.0)
+            z2 = zz * zz
+            asym = (core - jnp.log(-zz) - 0.5 * jnp.log(2.0 * jnp.pi)
+                    + jnp.log1p(((-1.0 + (3.0 - (15.0 - 105.0 / z2)
+                                          / z2) / z2) / z2)))
+            return jnp.where(switch, asym, normal)
+
+        tm = term(s2 / (2.0 * b * b) - r / b, (r - v) / s)
+        tp = term(s2 / (2.0 * b * b) + r / b, -(r + v) / s)
+        return jnp.logaddexp(tm, tp) - jnp.log(2.0 * b)
+
     def laplace_derivs(self, y, f):
         b = self.b
         r = y - f

@@ -20,7 +20,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from pygps_tpu import config
 from pygps_tpu.core.posteriors import Posterior
+from pygps_tpu.ops.trtri import inv_from_chol
 from pygps_tpu.utils.tools import safe_cholesky, solve_chol
 
 
@@ -79,7 +81,12 @@ def _nlml_core_fwd(K, m, sn2, y):
 def _nlml_core_bwd(res, g):
     L, alpha, sn2 = res
     n = alpha.shape[0]
-    Kinv = solve_chol(L, jnp.eye(n, dtype=L.dtype)) / sn2   # K̃⁻¹
+    if config.GEMM_INVERSE:
+        # blocked W = L⁻¹ then WᵀW: all-GEMM, rides the MXU instead of the
+        # ~7 TF/s TRSM unit (ops/trtri.py; toggle config.use_gemm_inverse)
+        Kinv = inv_from_chol(L) / sn2                       # K̃⁻¹
+    else:
+        Kinv = solve_chol(L, jnp.eye(n, dtype=L.dtype)) / sn2   # K̃⁻¹
     Q = Kinv - alpha[:, None] * alpha[None, :]
     return (g * 0.5 * Q, -g * alpha, g * 0.5 * jnp.trace(Q), g * alpha)
 

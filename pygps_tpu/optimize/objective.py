@@ -69,4 +69,18 @@ def make_engine_objective(engine, mean, kernel, lik, x, y):
             engine.update_state(state["aux"])
         return np.asarray(v), np.asarray(g)
 
+    def f_cold(theta):
+        """NLML at ``theta`` from a fresh aux state (cold EP sites).
+
+        Warm-started energies are trajectory-dependent: two restarts
+        reaching different basins carry different site states, so their
+        final values are not comparable, and a transiently non-converged
+        sweep can report a bogus-low energy that a later cold evaluation
+        (``GP.getPosterior``) cannot reproduce.  The restart loop compares
+        candidates with this instead (does not touch the warm state)."""
+        (v, _), _ = vg(jnp.asarray(theta, dtype=theta0.dtype),
+                       *tuple(engine.init_aux(y)))
+        return float(np.asarray(v))
+
+    f.cold = f_cold
     return f, np.asarray(theta0), unravel

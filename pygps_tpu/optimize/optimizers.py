@@ -48,6 +48,7 @@ class Optimizer:
             model.likfunc, x, y,
         )
         best_theta, best_val = self._safe_run(f, theta0, numIters)
+        best_val = self._comparable_val(f, best_theta, best_val)
 
         cfg = self.searchConfig
         if cfg is not None and getattr(cfg, "num_restarts", 0):
@@ -60,12 +61,28 @@ class Optimizer:
                 else:  # fall back to perturbing the initial point
                     t0 = theta0 + rng.normal(size=theta0.shape)
                 th, v = self._safe_run(f, t0, numIters)
+                v = self._comparable_val(f, th, v)
                 if v < best_val:
                     best_theta, best_val = th, v
                 if (cfg.min_threshold is not None
                         and best_val < cfg.min_threshold):
                     break
         return best_theta, best_val
+
+    @staticmethod
+    def _comparable_val(f, theta, val):
+        """For stateful (warm-started EP) objectives, restart candidates are
+        ranked by a cold re-evaluation at the returned point: warm energies
+        are trajectory-dependent and not comparable across restarts (see
+        objective.make_engine_objective.f_cold)."""
+        cold = getattr(f, "cold", None)
+        if cold is None or not np.isfinite(val):
+            return val
+        try:
+            v = cold(theta)
+            return v if np.isfinite(v) else np.inf
+        except (FloatingPointError, np.linalg.LinAlgError, ValueError):
+            return np.inf
 
     def _safe_run(self, f, theta0, num_iters):
         try:
