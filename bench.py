@@ -6,13 +6,22 @@ numpy float64 Gram + Cholesky + explicit Q = K̃⁻¹ − ααᵀ + per-hyp trac
 products, SURVEY.md §2.4) measured live on this host's CPU — the reference
 publishes no numbers of its own (BASELINE.json "published": {}).
 
+Protocol (round-2 fix for run-to-run spread): median-of-k on both sides —
+baseline = median of 3 full f64 evals; ours = median of 7 scanned-loop
+dispatches (20 sequentially-dependent NLML+grad evals per dispatch, the
+shape an optimizer actually drives).  A speed-of-light line is included:
+achieved TF/s over the peak HIGHEST-precision matmul rate measured on the
+SAME chip in the same run (self-calibrating MFU).
+
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "evals/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "evals/s", "vs_baseline": N,
+   "tf_per_s": N, "sol_pct": N, "protocol": "median-of-7x20"}
 """
 
 from __future__ import annotations
 
 import json
+import statistics
 import time
 
 import numpy as np
@@ -67,18 +76,19 @@ def run():
     import jax.numpy as jnp
 
     import pygps_tpu as pg
+    from pygps_tpu import config
     from pygps_tpu.inference import exact
 
     x_np, y_np = _data()
 
-    # ---- baseline (reference recipe, numpy f64 on CPU; best of 2 to
+    # ---- baseline (reference recipe, numpy f64 on CPU; median of 3 to
     # damp host-contention noise) ----
     times = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         baseline_numpy_eval(x_np, y_np)
         times.append(time.perf_counter() - t0)
-    t_base = min(times)
+    t_base = statistics.median(times)
     base_eps = 1.0 / t_base
 
     # ---- ours (jitted value_and_grad on the default device) ----
@@ -109,19 +119,46 @@ def run():
     # timed rep ends with float(last nlZ value).
     out = descend(prior)          # compile
     float(out[1][-1])
-    reps = 5
-    t0 = time.perf_counter()
+    reps = 7
+    per_eval = []
     for _ in range(reps):
+        t0 = time.perf_counter()
         out = descend(prior)
         float(out[1][-1])
-    t_ours = (time.perf_counter() - t0) / (reps * inner)
+        per_eval.append((time.perf_counter() - t0) / inner)
+    t_ours = statistics.median(per_eval)
     ours_eps = 1.0 / t_ours
+
+    # ---- speed-of-light calibration: peak HIGHEST-f32 matmul rate on the
+    # SAME chip, same run (the MXU rate every O(n³) op is bounded by) ----
+    m = 4096
+    A = jnp.ones((m, m), dtype)
+    mm = jax.jit(lambda a: a @ a)
+    float(mm(A)[0, 0])            # compile
+    mm_times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(mm(A)[0, 0])
+        mm_times.append(time.perf_counter() - t0)
+    peak_tf = 2 * m**3 / statistics.median(mm_times) / 1e12
+
+    # algorithmic FLOPs of one NLML+grad eval (dominant terms): forward
+    # Cholesky n³/3 + backward explicit inverse (5n³/3 GEMM-form via
+    # ops/trtri.py, or 2n³ TRSM-form) + Gram/dK elementwise ~6n²d
+    inv_flops = (5.0 / 3.0 if config.GEMM_INVERSE else 2.0) * N**3
+    flops = N**3 / 3.0 + inv_flops + 6.0 * N**2 * D
+    tf_per_s = flops / t_ours / 1e12
+    sol_pct = 100.0 * tf_per_s / peak_tf
 
     print(json.dumps({
         "metric": f"exact_gp_nlml_grad_evals_per_s_n{N}_d{D}",
         "value": round(ours_eps, 3),
         "unit": "evals/s",
         "vs_baseline": round(ours_eps / base_eps, 2),
+        "tf_per_s": round(tf_per_s, 2),
+        "peak_matmul_tf_per_s": round(peak_tf, 1),
+        "sol_pct": round(sol_pct, 1),
+        "protocol": f"median-of-{reps}x{inner}",
     }))
 
 

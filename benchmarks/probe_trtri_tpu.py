@@ -31,12 +31,19 @@ def main():
     from pygps_tpu.ops.trtri import inv_from_chol
     from pygps_tpu.utils.tools import solve_chol
 
+    def _sync(o):
+        # over the axon tunnel block_until_ready can return early; a scalar
+        # device->host fetch is the only reliable barrier (see bench.py)
+        leaf = jax.tree_util.tree_leaves(o)[0]
+        return float(jnp.asarray(leaf).reshape(-1)[0])
+
     def bench(f, *args, reps=5):
-        o = jax.block_until_ready(f(*args))
+        o = f(*args)
+        _sync(o)
         t0 = time.perf_counter()
         for _ in range(reps):
             o = f(*args)
-        jax.block_until_ready(o)
+            _sync(o)
         return (time.perf_counter() - t0) / reps, o
 
     for n in (4096, 8192):
@@ -65,8 +72,8 @@ def main():
             print(f"n={n} inv_from_chol b={b:4d} : {t_new*1e3:8.2f} ms "
                   f"(x{t_trsm/t_new:4.2f} vs trsm, rel err {err:.2e})")
 
-    # end-to-end NLML+grad at n=8192 with each backward
-    from pygps_tpu import cov, lik, mean
+    # end-to-end NLML+grad at n=8192 with each backward path
+    from pygps_tpu import config, cov, lik, mean
     from pygps_tpu.inference import exact
     n = 8192
     rng = np.random.default_rng(1)
@@ -74,10 +81,15 @@ def main():
     y = jnp.sin(x[:, 0]) + 0.1 * jnp.asarray(
         rng.standard_normal(n).astype(np.float32))
     prior = (mean.Zero(), cov.RBF(0.0, 0.0), lik.Gauss(-1.0))
-    vg = jax.jit(jax.value_and_grad(
-        lambda pr: exact.nlml(pr[0], pr[1], pr[2], x, y)))
-    t, _ = bench(vg, prior, reps=3)
-    print(f"n={n} NLML+grad end-to-end  : {t*1e3:8.2f} ms")
+    for flag in (False, True):
+        config.use_gemm_inverse(flag)
+        # fresh closure → fresh jit cache → the flag is re-read at trace
+        vg = jax.jit(jax.value_and_grad(
+            lambda pr: exact.nlml(pr[0], pr[1], pr[2], x, y)))
+        t, _ = bench(vg, prior, reps=3)
+        name = "GEMM-inverse" if flag else "TRSM solve  "
+        print(f"n={n} NLML+grad [{name}]: {t*1e3:8.2f} ms")
+    config.use_gemm_inverse(False)
 
 
 if __name__ == "__main__":

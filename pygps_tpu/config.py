@@ -28,12 +28,23 @@ FITC_JITTER_REL = 1e-6
 #: GEMM-rate inverse (ops/trtri.py, ~5n³/3 FLOPs at MXU rate) instead of
 #: solve_chol(L, I) (2n³ FLOPs at the ~7 TF/s TRSM rate).  Same explicit
 #: inverse, same conditioning; toggle with :func:`use_gemm_inverse`.
-GEMM_INVERSE = False
+#: Default ON since round 2: measured on v5e (probe_trtri_tpu.py) the
+#: GEMM form is 1.76× faster than solve_chol at n=8192 (58.5 vs 102.7 ms,
+#: rel err ~1e-6) and the end-to-end NLML+grad drops 144 → 105 ms (1.37×).
+GEMM_INVERSE = True
 
 
 def use_gemm_inverse(enable: bool = True) -> None:
     """Route the exact-engine analytic backward through the blocked
-    GEMM inverse (ops/trtri.py) instead of XLA triangular solves."""
+    GEMM inverse (ops/trtri.py) instead of XLA triangular solves.
+
+    .. note:: **Trace-time capture.** The flag is read while JAX traces the
+       exact-engine VJP (inference/exact.py), and jit caches are NOT keyed
+       on it: toggling after an objective/nlml has been compiled does not
+       change already-compiled programs (they keep whichever path they were
+       traced with; new shapes trace with the new value).  Set it before
+       building objectives — e.g. at import, right after
+       ``import pygps_tpu`` — or rebuild the objective after toggling."""
     global GEMM_INVERSE
     GEMM_INVERSE = enable
 

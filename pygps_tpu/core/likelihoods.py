@@ -222,8 +222,10 @@ class Laplace(Likelihood):
     Reference lik.Laplace (hyp = [log_sigma]).
 
     Laplace-mode derivatives are the subgradient forms (d2 = d3 = 0 a.e.);
-    EP moments use the quadrature fallback (the reference integrates
-    analytically; parity is to solver tolerance)."""
+    EP moments and Gaussian-cavity prediction use the analytic
+    exponential–Gaussian convolution (:meth:`_lZ_scalar`), matching the
+    reference's analytic integration — the base-class GH quadrature is
+    only the fallback for likelihoods without a closed form."""
 
     _hyp_fields = ("log_sigma",)
 

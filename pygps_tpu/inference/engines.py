@@ -84,6 +84,17 @@ class Inference:
         """Initial aux state for a dataset with targets y."""
         raise NotImplementedError
 
+    def cold_aux(self, y):
+        """Aux state with NO warm-start — a genuinely fresh evaluation.
+
+        Unlike :meth:`init_aux` (which stateful engines may serve from
+        their warm cache, e.g. EP's ``last_ttau/last_tnu``), this always
+        builds the algorithm's cold initialization, so restart candidates
+        evaluated through it are trajectory-independent and comparable.
+        Default: same as init_aux (correct for engines whose init_aux is
+        already stateless, e.g. Laplace's zeros)."""
+        return self.init_aux(y)
+
     def update_state(self, aux):
         """Hook for stateful engines (EP warm start)."""
 
@@ -171,6 +182,9 @@ class EP(Inference):
         w = self._warm(y)
         if w[0] is not None:
             return w
+        return self.cold_aux(y)
+
+    def cold_aux(self, y):
         z = jnp.zeros(np.shape(y)[0], dtype=config.default_dtype())
         return (z, z)
 
@@ -207,6 +221,133 @@ class Iterative(Inference):
             return _iterative.nlml(mean, kernel, lik, x, y, **cfg)
 
         return f
+
+
+class SVGP(Inference):
+    """Whitened stochastic variational sparse GP as a pluggable engine
+    (north-star VI component; no reference counterpart — pyGPs's only
+    sparse method is FITC).  Reachable from the model layer via
+    ``GPR_FITC().useInference("SVGP")`` / ``GPC_FITC().useInference("SVGP")``
+    — the FITC wrapper supplies the inducing inputs; works with ANY
+    likelihood (Gauss closed form, Gauss–Hermite otherwise).
+
+    Structure mirrors the EP engine: the variational state (whitened mean
+    μ and Cholesky factor C of q(v)) is the aux threaded through
+    optimizer evaluations (warm-started, cached on the instance), found
+    by an inner jitted Adam loop on −ELBO with the hyperparameters
+    frozen; the returned energy is −ELBO at the optimized state with the
+    variational parameters stop-gradiented.  By the envelope theorem the
+    hyperparameter gradient of that value equals the gradient of the
+    inner-optimized ELBO once the inner loop is near its optimum (same
+    stationarity argument as EP's fixed-site gradient, inf.py:~680).
+
+    Note: nlZ here is the NEGATIVE ELBO — an upper bound on the true
+    NLML, not the NLML itself (documented delta vs the other engines).
+    """
+
+    has_aux = True
+
+    def __init__(self, inner_steps=25, eval_steps=300, lr=0.05):
+        self.inner_steps = int(inner_steps)
+        self.eval_steps = int(eval_steps)
+        self.lr = float(lr)
+        self.last_mu = None
+        self.last_c = None
+
+    # -- aux plumbing -------------------------------------------------------
+    def _z_of(self, kernel, x):
+        from pygps_tpu.core import kernels as cov
+
+        if not isinstance(kernel, cov.FITC):
+            raise TypeError(
+                "SVGP engine needs a FITC-wrapped kernel (inducing inputs);"
+                " use GPR_FITC/GPC_FITC or cov.FITC(kernel, u)")
+        return kernel.xu.value.astype(x.dtype)
+
+    def init_aux_full(self, mean, kernel, lik, x, y):
+        m = self._z_of(kernel, x).shape[0]
+        if self.last_mu is not None and self.last_mu.shape == (m,):
+            return (config.asarray(self.last_mu),
+                    config.asarray(self.last_c))
+        return self.cold_aux_full(mean, kernel, lik, x, y)
+
+    def cold_aux_full(self, mean, kernel, lik, x, y):
+        m = self._z_of(kernel, x).shape[0]
+        dt = config.default_dtype()
+        return (jnp.zeros(m, dtype=dt), jnp.eye(m, dtype=dt))
+
+    def update_state(self, aux):
+        self.last_mu = np.asarray(aux[0])
+        self.last_c = np.asarray(aux[1])
+
+    # -- inner fit ----------------------------------------------------------
+    def _fit_aux(self, mean, kernel, lik, x, y, mu, c_raw, steps):
+        import optax
+        from jax import lax
+
+        from pygps_tpu.inference import svgp as _svgp
+
+        z = self._z_of(kernel, x)
+        frozen = jax.tree_util.tree_map(
+            lax.stop_gradient, (mean, kernel.inner, lik))
+        tx = optax.adam(self.lr)
+
+        def loss(var):
+            p = _svgp.SVGPParams(z=z, mu=var[0], c_raw=var[1], prior=frozen)
+            return -_svgp.elbo(p, x, y)
+
+        def step(carry, _):
+            var, opt_state = carry
+            g = jax.grad(loss)(var)
+            updates, opt_state = tx.update(g, opt_state, var)
+            return (optax.apply_updates(var, updates), opt_state), ()
+
+        var0 = (mu, c_raw)
+        (var, _), _ = lax.scan(step, (var0, tx.init(var0)), None,
+                               length=steps)
+        return lax.stop_gradient(var[0]), lax.stop_gradient(var[1])
+
+    def _energy(self, mean, kernel, lik, x, y, mu, c_raw):
+        from pygps_tpu.inference import svgp as _svgp
+
+        z = self._z_of(kernel, x)
+        p = _svgp.SVGPParams(z=z, mu=mu, c_raw=c_raw,
+                             prior=(mean, kernel.inner, lik))
+        return -_svgp.elbo(p, x, y)
+
+    # -- engine interface ---------------------------------------------------
+    def nlml_aux_fn(self):
+        def fn(mean, kernel, lik, x, y, mu, c_raw):
+            mu, c_raw = self._fit_aux(mean, kernel, lik, x, y, mu, c_raw,
+                                      self.inner_steps)
+            return (self._energy(mean, kernel, lik, x, y, mu, c_raw),
+                    (mu, c_raw))
+        return fn
+
+    def _nlml(self):
+        eng = self
+
+        def f(mean, kernel, lik, x, y):
+            mu0, c0 = eng.cold_aux_full(mean, kernel, lik, x, y)
+            mu, c_raw = eng._fit_aux(mean, kernel, lik, x, y, mu0, c0,
+                                     eng.eval_steps)
+            return eng._energy(mean, kernel, lik, x, y, mu, c_raw)
+
+        return f
+
+    def _evaluate(self, mean, kernel, lik, x, y):
+        from pygps_tpu.inference import svgp as _svgp
+
+        mu0, c0 = self.init_aux_full(mean, kernel, lik, x, y)
+        mu, c_raw = self._fit_aux(mean, kernel, lik, x, y, mu0, c0,
+                                  self.eval_steps)
+        self.update_state((mu, c_raw))
+        z = self._z_of(kernel, x)
+        params = _svgp.SVGPParams(z=z, mu=mu, c_raw=c_raw,
+                                  prior=(mean, kernel.inner, lik))
+        post = _svgp.posterior(params)
+        nlZ = self._energy(mean, kernel, lik, x, y, mu, c_raw)
+        return post, nlZ
 
 
 class FITC_Exact(Inference):
@@ -253,5 +394,5 @@ class FITC_EP(EP):
         return _ep.fitc_nlml_with_sites
 
 
-__all__ = ["Inference", "Exact", "Laplace", "EP", "Iterative",
+__all__ = ["Inference", "Exact", "Laplace", "EP", "Iterative", "SVGP",
            "FITC_Exact", "FITC_Laplace", "FITC_EP", "DnlZ"]

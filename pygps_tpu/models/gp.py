@@ -268,12 +268,18 @@ class GP:
                sampler="nuts", seed=0, mesh=None, hyperprior_std=3.0,
                checkpoint_to=None, resume_from=None, **kwargs):
         """Sample hyperparameters from p(θ|y) ∝ exp(−NLML(θ))·N(θ|0,σ²I)
-        with NUTS (default) or HMC; chains vmapped, or sharded over a mesh
-        when one is given (psum-synchronized dual averaging).
+        with NUTS (default), HMC, or likelihood-tempered SMC
+        (``sampler="smc"``); chains vmapped, or sharded over a mesh when
+        one is given (psum-synchronized dual averaging).
 
-        Returns (samples (T, C, n_hyp), stats).  The weak Gaussian
-        hyperprior keeps the posterior proper (the reference's optimizer has
-        no prior; the flat-prior limit is hyperprior_std → ∞)."""
+        Returns (samples (T, C, n_hyp), stats).  For SMC, samples is the
+        final particle population shaped (1, P, n_hyp) (P =
+        ``num_particles``, default 8·num_chains) and stats additionally
+        carries ``log_evidence`` — the tempered-SMC estimate of
+        log ∫ p(y|θ) p(θ) dθ, which no other sampler provides.  The weak
+        Gaussian hyperprior keeps the posterior proper (the reference's
+        optimizer has no prior; the flat-prior limit is
+        hyperprior_std → ∞)."""
         import jax.flatten_util as fu
 
         from pygps_tpu.inference import hmc as _hmc
@@ -295,6 +301,34 @@ class GP:
 
         key = jax.random.PRNGKey(seed)
         k_init, k_run = jax.random.split(key)
+
+        if sampler == "smc":
+            from pygps_tpu.inference import smc as _smc
+
+            P = int(kwargs.pop("num_particles", 8 * num_chains))
+            # particles MUST start from the prior N(0, σ²I) — it is the
+            # β=0 target of the tempering schedule and the reference
+            # measure of the evidence estimate; non-finite NLML in the
+            # prior tails is guarded to −1e30 inside sample_smc (those
+            # particles die at the first reweight, as they should)
+            q0 = hyperprior_std * jax.random.normal(
+                k_init, (P, theta0.shape[0]), theta0.dtype)
+
+            def log_prior(t):
+                return -0.5 * inv_var * jnp.sum(t * t)
+
+            def log_lik(t):
+                m, k, l = unravel(t)
+                return -nlml_fn(m, k, l, x, y, **extra)
+
+            run = jax.jit(lambda q0, k: _smc.sample_smc(
+                log_prior, log_lik, q0, k, **kwargs))
+            q, logZ, stats = run(q0, k_run)
+            stats = dict(stats)
+            stats["log_evidence"] = float(logZ)
+            stats["q_final"] = q
+            return q[None, :, :], stats
+
         q0 = theta0[None, :] + 0.1 * jax.random.normal(
             k_init, (num_chains, theta0.shape[0]), theta0.dtype)
         if resume_from is not None:
@@ -511,7 +545,8 @@ class GPR_FITC(_FITCMixin, GPR):
     def useInference(self, newInf):
         table = {"Exact": engines.FITC_Exact,
                  "Laplace": engines.FITC_Laplace,
-                 "EP": engines.FITC_EP}
+                 "EP": engines.FITC_EP,
+                 "SVGP": engines.SVGP}
         if isinstance(newInf, str) and newInf in table:
             self.inffunc = table[newInf]()
             self.posterior = None
@@ -529,7 +564,8 @@ class GPC_FITC(_FITCMixin, GPC):
         self.inffunc = engines.FITC_EP()
 
     def useInference(self, newInf):
-        table = {"Laplace": engines.FITC_Laplace, "EP": engines.FITC_EP}
+        table = {"Laplace": engines.FITC_Laplace, "EP": engines.FITC_EP,
+                 "SVGP": engines.SVGP}
         if isinstance(newInf, str) and newInf in table:
             self.inffunc = table[newInf]()
             self.posterior = None

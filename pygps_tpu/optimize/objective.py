@@ -41,6 +41,18 @@ def make_objective(inference_fn, mean, kernel, lik, x, y, extra=None):
     return f, np.asarray(theta0), unravel
 
 
+def init_aux_any(engine, mean, kernel, lik, x, y, cold=False):
+    """Engine aux state; prefers the *_full hooks (engines whose aux shape
+    depends on more than y, e.g. SVGP's inducing-sized variational state)."""
+    if cold:
+        if hasattr(engine, "cold_aux_full"):
+            return tuple(engine.cold_aux_full(mean, kernel, lik, x, y))
+        return tuple(engine.cold_aux(y))
+    if hasattr(engine, "init_aux_full"):
+        return tuple(engine.init_aux_full(mean, kernel, lik, x, y))
+    return tuple(engine.init_aux(y))
+
+
 def make_engine_objective(engine, mean, kernel, lik, x, y):
     """Objective from an engine object; when the engine is stateful
     (EP sites, ``engine.has_aux``) the aux state is threaded through
@@ -53,7 +65,7 @@ def make_engine_objective(engine, mean, kernel, lik, x, y):
                               extra=engine.extra())
 
     aux_fn = engine.nlml_aux_fn()
-    state = {"aux": engine.init_aux(y)}
+    state = {"aux": init_aux_any(engine, mean, kernel, lik, x, y)}
 
     def loss(theta, *aux):
         m, k, l = unravel(theta)
@@ -77,9 +89,12 @@ def make_engine_objective(engine, mean, kernel, lik, x, y):
         final values are not comparable, and a transiently non-converged
         sweep can report a bogus-low energy that a later cold evaluation
         (``GP.getPosterior``) cannot reproduce.  The restart loop compares
-        candidates with this instead (does not touch the warm state)."""
+        candidates with this instead (does not touch the warm state).
+        Uses ``engine.cold_aux`` — never the warm cache that init_aux may
+        serve — so EP restarts are compared from genuinely cold sites."""
         (v, _), _ = vg(jnp.asarray(theta, dtype=theta0.dtype),
-                       *tuple(engine.init_aux(y)))
+                       *init_aux_any(engine, mean, kernel, lik, x, y,
+                                     cold=True))
         return float(np.asarray(v))
 
     f.cold = f_cold

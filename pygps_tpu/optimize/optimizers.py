@@ -160,6 +160,8 @@ class _Optax(Optimizer):
         has_aux = getattr(engine, "has_aux", False)
         x, y = model.x, model.y
 
+        from pygps_tpu.optimize.objective import init_aux_any
+
         if has_aux:
             aux_fn = engine.nlml_aux_fn()
 
@@ -167,7 +169,8 @@ class _Optax(Optimizer):
                 m, k, l = unravel(t)
                 return aux_fn(m, k, l, x, y, *aux)
 
-            loss = lambda t: loss_aux(t, engine.init_aux(y))[0]
+            loss = lambda t: loss_aux(
+                t, init_aux_any(engine, mean, kernel, lik, x, y))[0]
         else:
             nlml_fn = model._inference_nlml()
             extra = model._inference_extra()
@@ -197,7 +200,8 @@ class _Optax(Optimizer):
             t_new = jnp.where(jnp.isfinite(t_new), t_new, t)
             return (t_new, opt_state, aux), v
 
-        aux0 = engine.init_aux(y) if has_aux else ()
+        aux0 = init_aux_any(engine, mean, kernel, lik, x, y) \
+            if has_aux else ()
 
         @jax.jit
         def run_loop(t0, aux0):

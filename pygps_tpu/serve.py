@@ -41,23 +41,41 @@ class PredictServer:
 
     def _build(self):
         model = self.model
+        if model.posterior is None:
+            model.getPosterior(der=False)
 
-        def run(meanf, covf, likf, post, x, xs):
-            Ks = covf.K(x, xs)
-            kss = covf.Kdiag(xs)
-            fmu, fs2 = predict_latent(post, Ks, kss, meanf(xs))
-            _, ymu, ys2 = likf.predict(fmu, fs2)
-            return ymu, ys2
+        if self._fn is None:
+            def run(meanf, covf, likf, post, x, xs):
+                Ks = covf.K(x, xs)
+                kss = covf.Kdiag(xs)
+                fmu, fs2 = predict_latent(post, Ks, kss, meanf(xs))
+                _, ymu, ys2 = likf.predict(fmu, fs2)
+                return ymu, ys2
 
-        self._fn = jax.jit(run)
+            self._fn = jax.jit(run)
         self._dev_state = (model.meanfunc, model.covfunc, model.likfunc,
                            jax.device_put(model.posterior),
                            jax.device_put(model.x))
+        self._src_ids = self._model_ids()
+
+    def _model_ids(self):
+        m = self.model
+        return (id(m.meanfunc), id(m.covfunc), id(m.likfunc),
+                id(m.posterior), id(m.x))
+
+    def _refresh_if_stale(self):
+        """Re-snapshot device state when the model changed underneath us.
+
+        Every mutating model operation (setData/setPrior/useLikelihood/
+        optimize/getPosterior) REPLACES the functor/posterior/x objects, so
+        an identity comparison against the build-time snapshot detects
+        staleness exactly; the compiled program is shape-keyed and reused."""
+        if self._dev_state is None or self._model_ids() != self._src_ids:
+            self._build()
 
     def warm(self):
         """Compile every batch shape ahead of traffic."""
-        if self._fn is None:
-            self._build()
+        self._refresh_if_stale()
         d = self.model.x.shape[1]
         for b in self.batch_sizes:
             xq = jnp.zeros((b, d), dtype=self.model.x.dtype)
@@ -73,9 +91,10 @@ class PredictServer:
 
     def predict(self, xq):
         """(ymu, ys2) for a query batch of any size; requests larger than
-        the biggest bucket are chunked."""
-        if self._fn is None:
-            self._build()
+        the biggest bucket are chunked. Serves the model's CURRENT state:
+        if the model was re-optimized / re-fit since the last build, the
+        device snapshot is refreshed first (no stale predictions)."""
+        self._refresh_if_stale()
         xq = config.asarray(xq)
         if xq.ndim == 1:
             xq = xq[:, None]

@@ -10,10 +10,16 @@ import pytest
 DEMOS = Path(__file__).resolve().parent.parent / "demos"
 
 
+_SLOW_DEMOS = {"demo_GPC", "demo_CV", "demo_Sampling", "demo_Distributed",
+               "demo_GPR_FITC", "demo_GPMC", "demo_SVGP_SMC"}
+
+
 @pytest.mark.parametrize("name", [
-    "demo_GPR", "demo_GPC", "demo_GPMC", "demo_GPR_FITC",
-    "demo_GPC_FITC", "demo_CV", "demo_GraphKernel", "demo_Sampling",
-    "demo_Distributed",
+    pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_DEMOS
+    else n
+    for n in ("demo_GPR", "demo_GPC", "demo_GPMC", "demo_GPR_FITC",
+              "demo_GPC_FITC", "demo_CV", "demo_GraphKernel",
+              "demo_Sampling", "demo_Distributed", "demo_SVGP_SMC")
 ])
 def test_demo_runs(name):
     sys.path.insert(0, str(DEMOS))

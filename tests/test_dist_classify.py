@@ -60,6 +60,7 @@ def test_distributed_laplace_matches_dense(msh, data):
     assert np.isclose(nl_d, nl_ref, rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_distributed_laplace_grads_match_dense(msh, data):
     from jax.flatten_util import ravel_pytree
 
@@ -80,6 +81,7 @@ def test_distributed_laplace_grads_match_dense(msh, data):
     assert np.allclose(gd, gr, rtol=1e-6, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_distributed_ep_matches_dense(msh, data):
     x, y = data
     mean, kern, lik = pg.mean.Zero(), pg.cov.RBF(0.3, 0.3), pg.lik.Erf()

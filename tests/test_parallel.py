@@ -173,6 +173,7 @@ def test_pcholesky_on_2d_host_chip_mesh(spd):
     assert np.allclose(np.asarray(x), np.linalg.solve(spd, r), atol=1e-10)
 
 
+@pytest.mark.slow
 def test_distgpr_model(msh):
     """DistGPR end-to-end: optimize + predict via the distributed engine,
     matching a dense GPR on the same (padded-divisible) data."""

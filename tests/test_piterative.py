@@ -5,6 +5,7 @@ never materialized — every matvec builds its row-block tiles on the fly
 inside shard_map."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +46,7 @@ def test_dist_iterative_nlml_close_to_cholesky():
     assert abs(est - ref) / abs(ref) < 0.02
 
 
+@pytest.mark.slow
 def test_dist_iterative_gradients_close():
     from jax.flatten_util import ravel_pytree
 

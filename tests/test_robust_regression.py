@@ -2,6 +2,7 @@
 (reference lik.Laplace use case) + predict batching equivalence."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -17,6 +18,7 @@ def _outlier_data(n=40, seed=0):
     return x, y
 
 
+@pytest.mark.slow
 def test_laplace_likelihood_is_robust_to_outliers():
     x, y = _outlier_data()
     xs = x

@@ -37,6 +37,7 @@ def test_gaussian_target_moments(sampler, fn):
     assert 0.5 < float(np.asarray(stats["accept_prob"]).mean()) <= 1.0
 
 
+@pytest.mark.slow
 def test_nuts_diagnostics_on_gaussian():
     key = jax.random.PRNGKey(2)
     q0 = jax.random.normal(jax.random.PRNGKey(3), (4, DIM))
