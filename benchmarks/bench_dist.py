@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--sweep", action="store_true",
                     help="device-count sweep: report scaling efficiency "
                          "(wall-clock_1 / (p * wall-clock_p)) per op")
+    ap.add_argument("--precision", choices=["highest", "bf16"],
+                    default="highest",
+                    help="Cholesky trailing-update precision "
+                         "(DistributedExact(precision=...))")
     args = ap.parse_args()
 
     import os
@@ -64,6 +68,7 @@ def main():
     n = pmesh.pad_to_blocks(args.n, args.block, p)
     print(json.dumps({"config": {"n": n, "d": args.d, "block": args.block,
                                  "devices": p,
+                                 "precision": args.precision,
                                  "platform": jax.devices()[0].platform}}))
 
     rng = np.random.default_rng(0)
@@ -74,15 +79,25 @@ def main():
     y = jnp.asarray(np.sin(np.asarray(x)[:, 0]), dtype=dtype)
     kern = pg.cov.RBF(jnp.asarray(0.5, dtype), jnp.asarray(0.0, dtype))
     mean, lik = pg.mean.Zero(), pg.lik.Gauss(jnp.asarray(-1.0, dtype))
-    eng = DistributedExact(mesh, block=args.block)
+    eng = DistributedExact(mesh, block=args.block,
+                           precision=args.precision)
+    upd_dtype = eng.update_dtype
 
     def timed(name, fn, *a, reps=3):
+        # scalar device->host fetch as the sync barrier: over the axon
+        # tunnel block_until_ready can return before the device finishes
+        def sync(o):
+            # single-element fetch WITHOUT reshape (reshape of a large
+            # sharded array materializes a full copy → OOM at n=32k)
+            leaf = jax.tree_util.tree_leaves(o)[0]
+            return float(leaf[(0,) * leaf.ndim])
+
         out = fn(*a)
-        jax.block_until_ready(out)
+        sync(out)
         t0 = time.perf_counter()
         for _ in range(reps):
             out = fn(*a)
-        jax.block_until_ready(out)
+            sync(out)
         dt = (time.perf_counter() - t0) / reps
         print(json.dumps({"metric": name, "value": round(dt, 4),
                           "unit": "s"}))
@@ -91,7 +106,7 @@ def main():
     gram_j = jax.jit(lambda: gram_bc(kern, x, mesh, args.block,
                                      noise_diag=jnp.exp(-2.0)))
     K_bc = timed("sharded_gram_s", gram_j)
-    chol_j = jax.jit(lambda K: pcholesky(K, mesh))
+    chol_j = jax.jit(lambda K: pcholesky(K, mesh, update_dtype=upd_dtype))
     L = timed("dist_cholesky_s", chol_j, K_bc)
     solve_j = jax.jit(lambda L, r: psolve_chol(L, r, mesh))
     timed("dist_solve_s", solve_j, L, y)

@@ -49,6 +49,13 @@ class DenseOps(NamedTuple):
         L, _ = safe_cholesky(B)
         return (sW, L)
 
+    def zero_W_aux(self):
+        """with_W(0) in closed form (B = I): saves the cold-start EP
+        sweep's factorization + TRSM — XLA cannot fold the runtime zeros."""
+        n = self.K.shape[0]
+        return (jnp.zeros(n, dtype=self.K.dtype),
+                jnp.eye(n, dtype=self.K.dtype))
+
     def apply_A(self, aux, v):
         sW, L = aux
         return sW * solve_chol(L, sW * v)
@@ -90,6 +97,15 @@ class FITCOps(NamedTuple):
         M = jnp.eye(m, dtype=self.V.dtype) + Ue @ U.T
         Lm, _ = safe_cholesky(M)
         return (sW, e, U, Ue, Lm)
+
+    def zero_W_aux(self):
+        """with_W(0) in closed form (E = I, Ũ = 0, M = I)."""
+        n = self.D.shape[0]
+        m = self.V.shape[0]
+        dt = self.V.dtype
+        z = jnp.zeros((m, n), dt)
+        return (jnp.zeros(n, dt), jnp.ones(n, dt), z, z,
+                jnp.eye(m, dtype=dt))
 
     def _Binv(self, aux, v):
         sW, e, U, Ue, Lm = aux

@@ -33,7 +33,7 @@ from pygps_tpu.parallel.pinverse import pinv_chol
 from pygps_tpu.parallel.ring_gram import gram_bc
 
 
-def _factor_solve(K_bc, r, sn2, mesh_, axis):
+def _factor_solve(K_bc, r, sn2, mesh_, axis, update_dtype=None):
     """L of K̃/sn2 + ... — factor B = (K + sn2 I) directly in bc layout."""
     p, m, b, n = K_bc.shape
 
@@ -49,27 +49,36 @@ def _factor_solve(K_bc, r, sn2, mesh_, axis):
     addI = shard_map(add_diag, mesh=mesh_, in_specs=(P(axis),),
                      out_specs=P(axis), check_vma=False)
     B_bc = addI(K_bc)
-    L = pcholesky(B_bc, mesh_, axis)
+    L = pcholesky(B_bc, mesh_, axis, update_dtype=update_dtype)
     alpha = psolve_chol(L, r, mesh_, axis)
     logdet = plogdet_chol(L, mesh_, axis)
     return L, alpha, logdet
 
 
-def make_dist_nlml_core(mesh_: Mesh, axis: str = "shard"):
-    """Returns nlml_core(K_bc, m, sn2, y) -> nlZ with analytic VJP."""
+def make_dist_nlml_core(mesh_: Mesh, axis: str = "shard",
+                        update_dtype=None):
+    """Returns nlml_core(K_bc, m, sn2, y) -> nlZ with analytic VJP.
+
+    ``update_dtype=jnp.bfloat16`` runs the Cholesky trailing-update GEMMs
+    (the n³/(2p) FLOP hot spot) in bf16 with f32 accumulation — panels,
+    diagonal factorizations, solves, and the backward inverse stay full
+    precision.  Error budget characterized in
+    tests/test_parallel.py::test_distributed_exact_bf16_updates."""
 
     @jax.custom_vjp
     def nlml_core(K_bc, mvec, sn2, y):
         n = y.shape[0]
         r = y - mvec
-        L, alpha, logdet = _factor_solve(K_bc, r, sn2, mesh_, axis)
+        L, alpha, logdet = _factor_solve(K_bc, r, sn2, mesh_, axis,
+                                         update_dtype)
         return (0.5 * jnp.dot(r, alpha) + 0.5 * logdet
                 + 0.5 * n * jnp.log(2.0 * jnp.pi))
 
     def fwd(K_bc, mvec, sn2, y):
         n = y.shape[0]
         r = y - mvec
-        L, alpha, logdet = _factor_solve(K_bc, r, sn2, mesh_, axis)
+        L, alpha, logdet = _factor_solve(K_bc, r, sn2, mesh_, axis,
+                                         update_dtype)
         nlZ = (0.5 * jnp.dot(r, alpha) + 0.5 * logdet
                + 0.5 * n * jnp.log(2.0 * jnp.pi))
         return nlZ, (L, alpha, sn2)
@@ -106,17 +115,27 @@ class DistributedExact:
     """Distributed exact-GPR engine: nlml/posterior over a mesh.
 
     ``block`` is the Cholesky panel width (MXU-aligned, default 256 on TPU).
-    Inputs are padded to a (block·p) multiple with zero-variance pseudo
-    observations? No — inputs must currently be pre-padded by the caller
-    (models pad transparently via utils; see bench.py).
+    Inputs must currently be pre-padded to a (block·p) multiple by the
+    caller (models pad transparently via utils; see bench.py).
+
+    ``precision``: "highest" (default, true-f32 trailing updates) or
+    "bf16" — Cholesky trailing-update GEMMs in bf16 with f32 accumulation
+    (~2× MXU rate on v5e); panels/diagonals/solves/backward stay f32.
+    Use where downstream tolerances allow (NLML for sampling/optimization
+    steps — not tight posterior solves); error budget in
+    tests/test_parallel.py::test_distributed_exact_bf16_updates.
     """
 
     def __init__(self, mesh_: Mesh | None = None, block: int = 256,
-                 axis: str = "shard"):
+                 axis: str = "shard", precision: str = "highest"):
         self.mesh = mesh_ if mesh_ is not None else pmesh.make_mesh()
         self.block = block
         self.axis = axis
-        self._core = make_dist_nlml_core(self.mesh, axis)
+        if precision not in ("highest", "bf16"):
+            raise ValueError(f"unknown precision {precision!r}")
+        self.update_dtype = jnp.bfloat16 if precision == "bf16" else None
+        self._core = make_dist_nlml_core(self.mesh, axis,
+                                         update_dtype=self.update_dtype)
 
     def nlml(self, mean, kernel, lik, x, y):
         sn2 = jnp.exp(2.0 * lik.log_sigma)
@@ -125,7 +144,8 @@ class DistributedExact:
         return self._core(K_bc, mvec, sn2, y)
 
     def posterior_parts(self, mean, kernel, lik, x, y):
-        """(L_bc, alpha, sn2): enough to predict (alpha replicated)."""
+        """(L_bc, alpha, sn2): enough to predict (alpha replicated).
+        Always full precision — posterior solves need the tight factor."""
         sn2 = jnp.exp(2.0 * lik.log_sigma)
         K_bc = gram_bc(kernel, x, self.mesh, self.block, self.axis)
         r = y - mean(x)

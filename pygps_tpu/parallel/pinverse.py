@@ -19,11 +19,24 @@ from jax import lax, shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 
-def pinv_chol(L_bc: jax.Array, mesh: Mesh, axis: str = "shard") -> jax.Array:
-    """B⁻¹ (bc row layout) from the bc-layout factor L of B."""
+def pinv_chol(L_bc: jax.Array, mesh: Mesh, axis: str = "shard",
+              n_row_chunks: int = 8) -> jax.Array:
+    """B⁻¹ (bc row layout) from the bc-layout factor L of B.
+
+    Both solve phases chunk their (n-long) contraction dimension into
+    ``n_row_chunks`` static pieces and skip the structurally-zero half
+    with ``lax.cond`` (forward: Z rows ≥ the active panel are still zero;
+    backward: X rows ≤ the active panel are not yet filled) — ~2n³/p
+    FLOPs instead of 4n³/p, same arithmetic."""
     p, m, b, n = L_bc.shape
     nb = m * p
     nloc = m * b
+
+    # chunk height: multiple of b dividing n
+    ch = max(b, (n // n_row_chunks) // b * b)
+    while n % ch != 0:
+        ch -= b
+    nchunks = n // ch
 
     def body(L):
         L = L[0]
@@ -42,7 +55,21 @@ def pinv_chol(L_bc: jax.Array, mesh: Mesh, axis: str = "shard") -> jax.Array:
             row = lax.dynamic_index_in_dim(L, kloc, axis=0, keepdims=False)
             row = lax.psum(jnp.where(d == owner, row, jnp.zeros_like(row)),
                            axis)                       # (b, n) L block row k
-            S = row @ Z                                # Σ_{j<k} L_kj Z_j
+            # S = Σ_{j<k} L_kj Z_j: Z rows ≥ cs are zero → skip chunks
+            # that start at/after the panel
+            S = jnp.zeros((b, nloc), L.dtype)
+            for c in range(nchunks):
+                start = c * ch
+                needed = start < cs
+
+                def part(ops):
+                    r_, z_ = ops
+                    return r_ @ z_
+
+                S = S + lax.cond(
+                    needed, part,
+                    lambda ops: jnp.zeros((b, nloc), L.dtype),
+                    (row[:, start:start + ch], Z[start:start + ch]))
             L_kk = lax.dynamic_slice(row, (cs * 0, cs), (b, b))
             I_k = lax.dynamic_slice(I_cols, (cs, cs * 0), (b, nloc))
             Z_k = lax.linalg.triangular_solve(
@@ -62,9 +89,22 @@ def pinv_chol(L_bc: jax.Array, mesh: Mesh, axis: str = "shard") -> jax.Array:
             C_all = lax.all_gather(C, axis)                   # (p, m, b, b)
             col = jnp.swapaxes(C_all, 0, 1).reshape(n, b)
             L_kk = lax.dynamic_slice(col, (cs, cs * 0), (b, b))
-            # strict sub-panel only (rows > block k) for the coupling term
+            # strict sub-panel only (rows > block k) for the coupling term;
+            # X rows ≤ panel end are not yet filled → skip those chunks
             col_strict = jnp.where((row_block > k)[:, None], col, 0.0)
-            S = col_strict.T @ X                              # (b, nloc)
+            S = jnp.zeros((b, nloc), L.dtype)
+            for c in range(nchunks):
+                start = c * ch
+                needed = (start + ch) > (cs + b)
+
+                def part(ops):
+                    c_, x_ = ops
+                    return c_.T @ x_
+
+                S = S + lax.cond(
+                    needed, part,
+                    lambda ops: jnp.zeros((b, nloc), L.dtype),
+                    (col_strict[start:start + ch], X[start:start + ch]))
             Z_k = lax.dynamic_slice(Z, (cs, cs * 0), (b, nloc))
             X_k = lax.linalg.triangular_solve(
                 L_kk, Z_k - S, left_side=True, lower=True, transpose_a=True)
