@@ -46,9 +46,12 @@ def use_fused_gram(enabled: bool = True):
     """Route RBF(+unit/ard)/Matern{1,3,5,7}/RQ(+ard) Gram evaluations
     through the Pallas fused kernel (ops/gram_pallas.py); ARD variants
     pre-scale inputs per-dimension and use the isotropic kernel at ℓ=1.
-    Opt-in: ~35% faster than the XLA pipeline on TPU for large n, but the
-    Pallas call is not vmappable — leave disabled when vmapping NLML over
-    hyperparameter batches (NUTS chains use plain XLA regardless)."""
+    Opt-in: ~1.8x faster than the XLA pipeline on TPU for large n.
+    Safe under vmap since round 2: batching over the scalar
+    hyperparameters (NUTS chains / hyp grids over shared inputs) uses a
+    shared-distance batched Pallas kernel — each distance tile's MXU
+    work is computed once and reused across the whole batch; batching
+    over the inputs themselves falls back to a vmapped XLA pipeline."""
     _FUSED_GRAM["enabled"] = bool(enabled)
 
 
@@ -306,6 +309,13 @@ class Periodic(Kernel):
         self.log_sigma = _p(log_sigma)
 
     def _cross(self, x, z):
+        if _fused_enabled():
+            from pygps_tpu.ops.gram_pallas import fused_gram
+
+            pre = (jnp.pi * jnp.exp(-self.log_p)) ** 2    # (π/p)²
+            return fused_gram("periodic", x, z, pre,
+                              jnp.exp(2.0 * self.log_sigma),
+                              2.0 * jnp.exp(-2.0 * self.log_ell))
         ell2 = jnp.exp(2.0 * self.log_ell)
         p = jnp.exp(self.log_p)
         sf2 = jnp.exp(2.0 * self.log_sigma)

@@ -53,6 +53,11 @@ def _apply_kind(kind, d2, sf2, alpha):
         return sf2 * (1.0 + t + 0.4 * t2 + t2 * t / 15.0) * jnp.exp(-t)
     if kind == "rq":
         return sf2 * jnp.exp(-alpha * jnp.log1p(0.5 * d2 / alpha))
+    if kind == "periodic":
+        # encoding: d2 arrives pre-scaled by (π/p)² (via inv_ell2 slot),
+        # alpha = 2/ℓ² → k = sf² exp(−(2/ℓ²) sin²(π r / p))
+        s = jnp.sin(jnp.sqrt(d2 + 1e-36))
+        return sf2 * jnp.exp(-alpha * s * s)
     raise ValueError(kind)
 
 
@@ -96,11 +101,99 @@ def _pallas_gram(kind, x, z, inv_ell2, sf2, alpha, interpret):
     )(x, z, scal)
 
 
+def _tile_kernel_batched(kind, x_ref, z_ref, scal_ref, out_ref, d2_ref):
+    """Hyperparameter-batched tile: the raw squared-distance tile (the
+    MXU work) is computed ONCE per (i, j) grid cell into VMEM scratch and
+    reused across the batch axis c (innermost grid dim) — a vmap over
+    hyperparameters costs only the VPU map per chain, not C matmuls."""
+    c = pl.program_id(2)
+
+    @pl.when(c == 0)
+    def _():
+        xi = x_ref[...]
+        zj = z_ref[...]
+        xn = jnp.sum(xi * xi, axis=1)[:, None]
+        zn = jnp.sum(zj * zj, axis=1)[None, :]
+        cross = jax.lax.dot_general(
+            xi, zj, dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        d2_ref[...] = jnp.maximum(xn + zn - 2.0 * cross, 0.0)
+
+    inv_ell2 = scal_ref[c, 0]
+    sf2 = scal_ref[c, 1]
+    alpha = scal_ref[c, 2]
+    d2 = d2_ref[...] * inv_ell2
+    out_ref[0] = _apply_kind(kind, d2, sf2, alpha).astype(out_ref.dtype)
+
+
+def _pallas_gram_batched(kind, x, z, inv_ell2, sf2, alpha, interpret):
+    """(C, n, m) Grams for C hyperparameter settings over shared inputs."""
+    n, d = x.shape
+    m = z.shape[0]
+    C = inv_ell2.shape[0]
+    bm, bn = min(_BM, n), min(_BN, m)
+    grid = (pl.cdiv(n, bm), pl.cdiv(m, bn), C)
+    scal = jnp.stack([inv_ell2, sf2, alpha], axis=1).astype(jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_tile_kernel_batched, kind),
+        out_shape=jax.ShapeDtypeStruct((C, n, m), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, d), lambda i, j, c: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, d), lambda i, j, c: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 3), lambda i, j, c: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bm, bn), lambda i, j, c: (c, i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        interpret=interpret,
+    )(x, z, scal)
+
+
 def _xla_gram(kind, x, z, inv_ell2, sf2, alpha):
     xn = jnp.sum(x * x, axis=1)[:, None]
     zn = jnp.sum(z * z, axis=1)[None, :]
     d2 = jnp.maximum(xn + zn - 2.0 * (x @ z.T), 0.0) * inv_ell2
     return _apply_kind(kind, d2, sf2, alpha)
+
+
+@functools.cache
+def _impl_for(kind):
+    """Primal Gram implementation with a custom vmap rule: batching over
+    the SCALAR hyperparameters (the NUTS-chain case — x/z shared) routes
+    to the shared-distance batched Pallas kernel; anything else falls
+    back to a vmapped XLA pipeline.  custom_vjp composes on top: vmap of
+    the custom_vjp fwd re-enters this rule, the analytic XLA bwd vmaps
+    natively."""
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def impl(x, z, inv_ell2, sf2, alpha):
+        if _on_tpu():
+            return _pallas_gram(kind, x, z, inv_ell2, sf2, alpha,
+                                interpret=False)
+        return _xla_gram(kind, x, z, inv_ell2, sf2, alpha)
+
+    @impl.def_vmap
+    def _rule(axis_size, in_batched, x, z, inv_ell2, sf2, alpha):
+        xb, zb, ib, sb, ab = in_batched
+        if not xb and not zb and _on_tpu():
+            C = axis_size
+            iv = inv_ell2 if ib else jnp.broadcast_to(inv_ell2, (C,))
+            sv = sf2 if sb else jnp.broadcast_to(sf2, (C,))
+            av = alpha if ab else jnp.broadcast_to(alpha, (C,))
+            return _pallas_gram_batched(kind, x, z, iv, sv, av,
+                                        interpret=False), True
+        in_axes = tuple(0 if b else None for b in in_batched)
+        out = jax.vmap(lambda *a: _xla_gram(kind, *a), in_axes=in_axes)(
+            x, z, inv_ell2, sf2, alpha)
+        return out, True
+
+    return impl
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -111,17 +204,17 @@ def fused_gram(kind, x, z, inv_ell2, sf2, alpha=1.0):
     alpha is the RQ shape parameter (ignored by other kinds).
     Pallas on TPU, interpret/XLA elsewhere; gradients analytic via XLA.
     ARD kernels reduce to this by pre-scaling inputs per-dimension.
+    SAFE UNDER VMAP over the scalar hyperparameters (NUTS chains): the
+    batched Pallas kernel shares each distance tile across the batch.
     """
     alpha = jnp.asarray(alpha, x.dtype)
-    if _on_tpu():
-        return _pallas_gram(kind, x, z, inv_ell2, sf2, alpha,
-                            interpret=False)
-    return _xla_gram(kind, x, z, inv_ell2, sf2, alpha)
+    return _impl_for(kind)(x, z, inv_ell2, sf2, alpha)
 
 
 def _fwd(kind, x, z, inv_ell2, sf2, alpha=1.0):
-    return fused_gram(kind, x, z, inv_ell2, sf2, alpha), (
-        x, z, inv_ell2, sf2, jnp.asarray(alpha, x.dtype))
+    alpha = jnp.asarray(alpha, x.dtype)
+    return _impl_for(kind)(x, z, inv_ell2, sf2, alpha), (
+        x, z, inv_ell2, sf2, alpha)
 
 
 def _bwd(kind, res, gbar):
@@ -172,4 +265,9 @@ def cross_fused(kernel, x, z):
         sf2 = jnp.exp(2.0 * kernel.log_sigma)
         alpha = jnp.exp(kernel.log_alpha)
         return fused_gram("rq", x, z, inv_ell2, sf2, alpha)
+    if isinstance(kernel, cov.Periodic):
+        pre = (jnp.pi * jnp.exp(-kernel.log_p)) ** 2     # (π/p)²
+        sf2 = jnp.exp(2.0 * kernel.log_sigma)
+        alpha = 2.0 * jnp.exp(-2.0 * kernel.log_ell)      # 2/ℓ²
+        return fused_gram("periodic", x, z, pre, sf2, alpha)
     return kernel._cross(x, z)

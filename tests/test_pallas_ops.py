@@ -79,6 +79,73 @@ def test_fused_gram_gradients():
     assert np.isclose(float(g2), float(fd2), rtol=2e-2)
 
 
+def test_fused_periodic():
+    kern = pg.cov.Periodic(0.2, 0.4, 0.1)
+    ref = np.asarray(kern._cross(X, Z))
+    out = np.asarray(gp.cross_fused(kern, X, Z))
+    assert np.allclose(out, ref, atol=1e-4)
+    pre = jnp.asarray((np.pi * np.exp(-0.4)) ** 2, jnp.float32)
+    sf2 = jnp.asarray(np.exp(0.2), jnp.float32)
+    al = jnp.asarray(2.0 * np.exp(-0.4), jnp.float32)
+    out_i = np.asarray(gp._pallas_gram("periodic", X, Z, pre, sf2, al,
+                                       interpret=True))
+    assert np.allclose(out_i, ref, atol=1e-4)
+
+
+def test_fused_composites_route_through_children():
+    """Sum/Product dispatch to child kernels, whose _cross uses the fused
+    path when enabled — composites of supported families are covered."""
+    pg.cov.use_fused_gram(True)
+    try:
+        k = pg.cov.RBF(0.2, 0.1) + pg.cov.Matern(0.1, 0.0, d=3) \
+            * pg.cov.Periodic(0.2, 0.3, 0.1)
+        K1 = np.asarray(k.Ktrain(X))
+    finally:
+        pg.cov.use_fused_gram(False)
+    K0 = np.asarray(k.Ktrain(X))
+    assert np.allclose(K1, K0, atol=1e-4)
+
+
+def test_fused_gram_vmap_over_hyps():
+    """vmap over scalar hyperparameters (the NUTS-chain case) works and
+    matches per-hyp evaluations; gradients survive the composition."""
+    ivs = jnp.asarray([0.5, 0.9, 1.4], jnp.float32)
+    sfs = jnp.asarray([0.8, 1.0, 1.6], jnp.float32)
+
+    out = jax.vmap(lambda i_, s_: gp.fused_gram("rbf", X, Z, i_, s_))(
+        ivs, sfs)
+    assert out.shape == (3, N, M)
+    for c in range(3):
+        ref = gp.fused_gram("rbf", X, Z, ivs[c], sfs[c])
+        assert np.allclose(np.asarray(out[c]), np.asarray(ref), atol=1e-5)
+
+    # grad-of-vmap (what a chain-batched NLML does)
+    def loss(i_):
+        ks = jax.vmap(lambda ii: gp.fused_gram("rbf", X, Z, ii, 1.0))(i_)
+        return jnp.sum(ks ** 2)
+
+    g = jax.grad(loss)(ivs)
+    eps = 1e-3
+    for c in range(3):
+        pert = ivs.at[c].add(eps)
+        pert2 = ivs.at[c].add(-eps)
+        fd = (loss(pert) - loss(pert2)) / (2 * eps)
+        assert np.isclose(float(g[c]), float(fd), rtol=2e-2)
+
+
+def test_batched_pallas_kernel_interpret():
+    """The shared-distance batched tile program (interpret mode) matches
+    the per-hyp XLA pipeline."""
+    ivs = jnp.asarray([0.5, 1.2], jnp.float32)
+    sfs = jnp.asarray([1.0, 0.7], jnp.float32)
+    avs = jnp.asarray([1.0, 1.0], jnp.float32)
+    out = np.asarray(gp._pallas_gram_batched("rbf", X, Z, ivs, sfs, avs,
+                                             interpret=True))
+    for c in range(2):
+        ref = np.asarray(gp._xla_gram("rbf", X, Z, ivs[c], sfs[c], avs[c]))
+        assert np.allclose(out[c], ref, atol=1e-4)
+
+
 def test_cross_fused_dispatch_and_fallback():
     k = pg.cov.RBF(0.1, 0.1)
     out = np.asarray(gp.cross_fused(k, X, Z))
