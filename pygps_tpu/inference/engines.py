@@ -201,11 +201,13 @@ class Iterative(Inference):
     stored factor is the bottleneck.  Gauss likelihood only."""
 
     def __init__(self, num_probes=16, lanczos_iters=30, cg_tol=1e-8,
-                 cg_iters=512, precond_rank=100, seed=0):
+                 cg_iters=512, precond_rank=100, seed=0, tol_nlz=None,
+                 max_probes=256):
         self._cfg = dict(num_probes=num_probes,
                          lanczos_iters=lanczos_iters, cg_tol=cg_tol,
                          cg_iters=cg_iters, precond_rank=precond_rank,
-                         seed=seed)
+                         seed=seed, tol_nlz=tol_nlz,
+                         max_probes=max_probes)
 
     def _evaluate(self, mean, kernel, lik, x, y):
         from pygps_tpu.inference import iterative as _iterative

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from pygps_tpu.utils.cg import cg_solve, slq_logdet
+from pygps_tpu.utils.cg import cg_solve, slq_logdet, slq_logdet_adaptive
 from pygps_tpu.utils.pchol import pivoted_cholesky, woodbury_preconditioner
 
 _DEFAULTS = dict(num_probes=16, lanczos_iters=25, cg_tol=1e-6,
@@ -68,7 +68,14 @@ def _make_solver(K, sn2, cg_cfg):
 
         mv_hat = lambda X: apply_inv_sqrt(mv(apply_inv_sqrt(X)))
 
-        def logdet_fn(key, num_probes, lanczos_iters):
+        def logdet_fn(key, num_probes, lanczos_iters, tol_abs=None,
+                      max_probes=256):
+            if tol_abs is not None:
+                ld, _, _ = slq_logdet_adaptive(
+                    mv_hat, n, key, tol_abs, lanczos_iters=lanczos_iters,
+                    min_probes=num_probes, max_probes=max_probes,
+                    dtype=K.dtype)
+                return logdetP + ld
             return logdetP + slq_logdet(mv_hat, n, key,
                                         num_probes=num_probes,
                                         lanczos_iters=lanczos_iters,
@@ -81,7 +88,14 @@ def _make_solver(K, sn2, cg_cfg):
                                M_inv_diag=Minv)
             return X
 
-        def logdet_fn(key, num_probes, lanczos_iters):
+        def logdet_fn(key, num_probes, lanczos_iters, tol_abs=None,
+                      max_probes=256):
+            if tol_abs is not None:
+                ld, _, _ = slq_logdet_adaptive(
+                    mv, n, key, tol_abs, lanczos_iters=lanczos_iters,
+                    min_probes=num_probes, max_probes=max_probes,
+                    dtype=K.dtype)
+                return ld
             return slq_logdet(mv, n, key, num_probes=num_probes,
                               lanczos_iters=lanczos_iters, dtype=K.dtype)
     return solver, logdet_fn
@@ -99,7 +113,20 @@ def _nlml_fwd(K, m, sn2, y, seed, num_probes, lanczos_iters, cg_cfg):
     key = jax.random.PRNGKey(seed)
     solver, logdet_fn = _make_solver(K, sn2, cg_cfg)
     alpha = solver(r[:, None])[:, 0]
-    logdet = logdet_fn(key, num_probes, lanczos_iters)
+    tol = cg_cfg[3] if len(cg_cfg) > 3 else None
+    if tol is not None:
+        # adaptive probe count against the user tolerance: stop when the
+        # SLQ standard error is below 2·tol·|nlZ-proxy| (the ½·logdet
+        # term contributes half the nlZ error; the proxy is the
+        # deterministic part of nlZ, which dominates at these scales)
+        proxy = jnp.abs(0.5 * jnp.dot(r, alpha)
+                        + 0.5 * n * jnp.log(2.0 * jnp.pi))
+        tol_abs = 2.0 * tol * jnp.maximum(proxy, 1.0)
+        max_probes = cg_cfg[4] if len(cg_cfg) > 4 else 256
+        logdet = logdet_fn(key, num_probes, lanczos_iters,
+                           tol_abs=tol_abs, max_probes=max_probes)
+    else:
+        logdet = logdet_fn(key, num_probes, lanczos_iters)
     nlZ = (0.5 * jnp.dot(r, alpha) + 0.5 * logdet
            + 0.5 * n * jnp.log(2.0 * jnp.pi))
     return nlZ, (K, sn2, alpha)
@@ -129,21 +156,30 @@ _nlml_core.defvjp(_nlml_fwd, _nlml_bwd)
 
 
 def nlml(mean, kernel, lik, x, y, seed=0, num_probes=16, lanczos_iters=25,
-         cg_tol=1e-6, cg_iters=256, precond_rank=0):
+         cg_tol=1e-6, cg_iters=256, precond_rank=0, tol_nlz=None,
+         max_probes=256):
     """Matrix-free exact-GP NLML (stochastic logdet/trace, exact solves).
 
     ``precond_rank > 0`` enables the rank-k pivoted-Cholesky Woodbury
     preconditioner (utils/pchol.py): CG converges in far fewer iterations
     on smooth kernels, and SLQ runs on the preconditioned operator with
-    the exact log det P added back."""
+    the exact log det P added back.
+
+    ``tol_nlz`` (e.g. 3e-3) switches SLQ to ADAPTIVE probe counting: new
+    Rademacher probes are drawn in chunks until the Monte-Carlo standard
+    error of ½·logdet is below ``tol_nlz`` × |nlZ| (capped at
+    ``max_probes``), so accuracy is a user tolerance instead of a fixed
+    probe budget.  ``num_probes`` then acts as the minimum."""
     # raw cross-Gram, not Ktrain: CG/SLQ tolerate the 1e-7-level asymmetry
     # and diagonal rounding, and skipping the symmetrize + diagonal-pin
     # avoids two extra n×n buffers in the VJP (HBM peak gates n here)
     K = kernel._cross(x, x)
     m = mean(x)
     sn2 = jnp.exp(2.0 * lik.log_sigma)
-    return _nlml_core(K, m, sn2, y, seed, num_probes, lanczos_iters,
-                      (cg_tol, cg_iters, precond_rank))
+    cfg = (cg_tol, cg_iters, precond_rank)
+    if tol_nlz is not None:
+        cfg = cfg + (float(tol_nlz), int(max_probes))
+    return _nlml_core(K, m, sn2, y, seed, num_probes, lanczos_iters, cfg)
 
 
 from jax import tree_util
@@ -191,7 +227,7 @@ class NegInvOperator:
 
 def evaluate(mean, kernel, lik, x, y, seed=0, num_probes=16,
              lanczos_iters=25, cg_tol=1e-8, cg_iters=512,
-             precond_rank=100):
+             precond_rank=100, tol_nlz=None, max_probes=256):
     """(Posterior, nlZ) via the matrix-free path — the engine entry point.
 
     Gauss likelihood only (exact conjugate model, like inf.Exact).  The
@@ -213,7 +249,8 @@ def evaluate(mean, kernel, lik, x, y, seed=0, num_probes=16,
     sW = jnp.full_like(r, 1.0 / jnp.sqrt(sn2))
     nlZ = nlml(mean, kernel, lik, x, y, seed=seed, num_probes=num_probes,
                lanczos_iters=lanczos_iters, cg_tol=cg_tol,
-               cg_iters=cg_iters, precond_rank=precond_rank)
+               cg_iters=cg_iters, precond_rank=precond_rank,
+               tol_nlz=tol_nlz, max_probes=max_probes)
     return Posterior(alpha, sW, op, is_tril=False), nlZ
 
 

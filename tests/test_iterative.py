@@ -172,3 +172,40 @@ def test_posterior_solve_matches_dense():
     alpha, it, res = iterative.posterior_solve(mean, kern, lik, x, y)
     post = exact.posterior(mean, kern, lik, x, y)
     assert np.allclose(np.asarray(alpha), np.asarray(post.alpha), atol=1e-6)
+
+
+def test_adaptive_slq_meets_tolerance():
+    """tol_nlz drives probe count: the adaptive estimate lands within the
+    requested relative nlZ tolerance (round-1 verdict: accuracy as a user
+    tolerance, not a fixed probe budget)."""
+    x, y, kern, _, sn2 = _rbf_problem()
+    mean, lik = pg.mean.Zero(), pg.lik.Gauss(0.5 * float(np.log(sn2)))
+    ref = float(exact.nlml(mean, kern, lik, x, y))
+    est = float(iterative.nlml(mean, kern, lik, x, y, num_probes=8,
+                               lanczos_iters=15, precond_rank=40,
+                               tol_nlz=3e-3, max_probes=512))
+    assert abs(est - ref) / abs(ref) < 3e-3 * 4   # stderr target, 4σ slack
+
+
+def test_adaptive_slq_uses_more_probes_when_tight():
+    """Tighter tolerance ⇒ more probes drawn (the while_loop actually
+    adapts)."""
+    from pygps_tpu.utils.cg import slq_logdet_adaptive
+
+    A = _spd(n=80, seed=2)
+    mv = lambda V: A @ V
+    _, p_loose, _ = slq_logdet_adaptive(mv, 80, jax.random.PRNGKey(0),
+                                        tol_abs=50.0, lanczos_iters=30,
+                                        min_probes=8, max_probes=512,
+                                        dtype=A.dtype)
+    _, p_tight, se = slq_logdet_adaptive(mv, 80, jax.random.PRNGKey(0),
+                                         tol_abs=0.5, lanczos_iters=30,
+                                         min_probes=8, max_probes=512,
+                                         dtype=A.dtype)
+    assert float(p_tight) > float(p_loose)
+    ref = float(np.linalg.slogdet(np.asarray(A))[1])
+    est, _, _ = slq_logdet_adaptive(mv, 80, jax.random.PRNGKey(0),
+                                    tol_abs=0.5, lanczos_iters=30,
+                                    min_probes=8, max_probes=512,
+                                    dtype=A.dtype)
+    assert abs(float(est) - ref) < 2.0            # 4× the stderr target
