@@ -133,19 +133,52 @@ def _nlml_fwd(K, m, sn2, y, seed, num_probes, lanczos_iters, cg_cfg):
 
 
 def _nlml_bwd(seed, num_probes, lanczos_iters, cg_cfg, res, g):
+    """Hutchinson K-cotangent with the preconditioner as a CONTROL
+    VARIATE (the BBMM-literature variance trick):
+
+        E[K̃⁻¹] = P⁻¹ + E_z[(K̃⁻¹ − P⁻¹) z zᵀ]
+
+    P⁻¹ is explicit (generalized Woodbury over the diagonal-corrected
+    pivoted-Cholesky factor), so the probes only carry the residual
+    K̃⁻¹ − P⁻¹.  At rank 60 / 8 probes this cuts the ∂nlZ/∂θ relative
+    error ~30-300× vs the raw Hutchinson estimator (60% → 0.2% on the
+    smooth-spectrum case, 95% → 3% on the short-lengthscale case;
+    pinned in test_gradient_control_variate_accuracy)."""
     K, sn2, alpha = res
     n = alpha.shape[0]
     key = jax.random.PRNGKey(seed + 1)
     Z = jax.random.rademacher(key, (n, num_probes), dtype=K.dtype)
     solver, _ = _make_solver(K, sn2, cg_cfg)
     W = solver(Z)
-    # E[K̃⁻¹] estimator: W Zᵀ / P; tr(K̃⁻¹ ∂K̃) = E[zᵀK̃⁻¹ ∂K̃ z].  No
-    # explicit symmetrization: ⟨WZᵀ, D⟩ = ⟨ZWᵀ, D⟩ for symmetric D
-    # (zᵀDw = wᵀDz), and every ∂K̃/∂θ is symmetric — saves one n×n
-    # buffer at the scales where this path exists (HBM peak gates n)
-    Kbar = g * 0.5 * (W @ Z.T / num_probes
+    # control variate P = LᵀL + diag(d_res) + sn2·I with d_res the
+    # pivoted-Cholesky residual diagonal: diag(P) = diag(K̃) exactly
+    # (so the variate stays sharp when rank misses spectrum mass —
+    # short lengthscales) AND the low-rank part captures the top
+    # eigenspace (long lengthscales).  Strictly dominates both the
+    # Jacobi and the scalar-Woodbury variates, so it is used regardless
+    # of the CG preconditioner config (unbiasedness needs no matching);
+    # a floor of rank 64 keeps the variate sharp even when CG runs
+    # unpreconditioned.  At rank ≥ n the pchol is exact and the
+    # cotangent becomes deterministic.
+    rank = cg_cfg[2] if len(cg_cfg) > 2 else 0
+    cv_rank = max(rank, min(n, 64))
+    Lpc = _pchol_factor(K, cv_rank)
+    D = jnp.diag(K) - jnp.sum(Lpc * Lpc, axis=0) + sn2    # (n,)
+    Dinv = 1.0 / D
+    B = Lpc * Dinv[None, :]                               # L D⁻¹, (k,n)
+    M = B @ Lpc.T + jnp.eye(Lpc.shape[0], dtype=K.dtype)  # I + LD⁻¹Lᵀ
+    Lm = jnp.linalg.cholesky(0.5 * (M + M.T))
+    MinvB = jax.scipy.linalg.cho_solve((Lm, True), B)     # (k, n)
+    # P⁻¹ = D⁻¹ − D⁻¹Lᵀ M⁻¹ L D⁻¹  (generalized Woodbury)
+    R = W - (Dinv[:, None] * Z - B.T @ (MinvB @ Z))       # W − P⁻¹Z
+    Pinv = jnp.diag(Dinv) - B.T @ MinvB
+    trPinv = jnp.sum(Dinv) - jnp.sum(MinvB * B)
+    # residual estimator: ⟨RZᵀ, D⟩ = ⟨ZRᵀ, D⟩ for symmetric D (every
+    # ∂K̃/∂θ is), so no explicit symmetrization — saves one n×n buffer
+    # at the scales where this path exists (HBM peak gates n)
+    Kbar = g * 0.5 * (Pinv + R @ Z.T / num_probes
                       - alpha[:, None] * alpha[None, :])
-    trKinv = jnp.sum(W * Z) / num_probes
+    trKinv = trPinv + jnp.sum(R * Z) / num_probes
     sn2_bar = g * 0.5 * (trKinv - jnp.dot(alpha, alpha))
     m_bar = -g * alpha
     y_bar = g * alpha

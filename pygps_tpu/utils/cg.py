@@ -62,40 +62,66 @@ def cg_solve(matvec: Callable, B: jax.Array, tol: float = 1e-8,
     return X, it, res
 
 
-def lanczos(matvec: Callable, z: jax.Array, m: int):
+def lanczos(matvec: Callable, z: jax.Array, m: int, reorth: bool = False):
     """m-step Lanczos for one probe vector z (n,): returns (alphas (m,),
     betas (m-1,)) of the tridiagonal T with T ≈ Qᵀ A Q.
 
-    Fixed iteration count (jit-static); no reorthogonalization (standard
-    for SLQ with modest m)."""
+    Fixed iteration count (jit-static).  ``reorth=True`` keeps the full
+    Krylov basis and re-orthogonalizes each new vector against it with
+    two classical Gram-Schmidt passes (CGS2 — two batched matmuls per
+    step, MXU-friendly): O(n·m²) extra flops, negligible next to the m
+    O(n²) matvecs, but it removes the f32 orthogonality-loss bias that
+    otherwise dominates SLQ log-det error at large n."""
     n = z.shape[0]
     q = z / jnp.linalg.norm(z)
 
-    def body(carry, _):
-        q_prev, q_curr, beta_prev = carry
-        v = matvec(q_curr[:, None])[:, 0] - beta_prev * q_prev
+    if not reorth:
+        def body(carry, _):
+            q_prev, q_curr, beta_prev = carry
+            v = matvec(q_curr[:, None])[:, 0] - beta_prev * q_prev
+            alpha = jnp.dot(q_curr, v)
+            v = v - alpha * q_curr
+            beta = jnp.linalg.norm(v)
+            q_next = v / jnp.where(beta < 1e-30, 1.0, beta)
+            return (q_curr, q_next, beta), (alpha, beta)
+
+        (_, _, _), (alphas, betas) = lax.scan(
+            body, (jnp.zeros_like(q), q, jnp.asarray(0.0, z.dtype)), None,
+            length=m)
+        return alphas, betas[:-1]
+
+    def body(carry, i):
+        Q, q_curr = carry
+        v = matvec(q_curr[:, None])[:, 0]
         alpha = jnp.dot(q_curr, v)
-        v = v - alpha * q_curr
+        # CGS2 against the whole stored basis (unfilled rows are zero,
+        # so no masking needed) + the current vector
+        for _ in range(2):
+            v = v - Q.T @ (Q @ v)
+            v = v - jnp.dot(q_curr, v) * q_curr
         beta = jnp.linalg.norm(v)
         q_next = v / jnp.where(beta < 1e-30, 1.0, beta)
-        return (q_curr, q_next, beta), (alpha, beta)
+        Q = lax.dynamic_update_slice(Q, q_curr[None, :], (i, 0))
+        return (Q, q_next), (alpha, beta)
 
-    (_, _, _), (alphas, betas) = lax.scan(
-        body, (jnp.zeros_like(q), q, jnp.asarray(0.0, z.dtype)), None,
-        length=m)
+    Q0 = jnp.zeros((m, n), z.dtype)
+    (_, _), (alphas, betas) = lax.scan(body, (Q0, q), jnp.arange(m))
     return alphas, betas[:-1]
 
 
 def slq_logdet(matvec: Callable, n: int, key, num_probes: int = 16,
-               lanczos_iters: int = 25, dtype=jnp.float64):
+               lanczos_iters: int = 25, dtype=jnp.float64,
+               reorth: bool = True):
     """Stochastic Lanczos quadrature estimate of log det A (A SPD, n×n).
 
     tr(log A) ≈ (n/P) Σ_p e₁ᵀ log(T_p) e₁ with Rademacher probes
-    (‖z‖² = n)."""
+    (‖z‖² = n).  Full reorthogonalization is ON by default: in f32 the
+    orthogonality-loss bias otherwise dominates the MC error at large n
+    (measured ~10× at n=16384), and its cost is negligible."""
     probes = jax.random.rademacher(key, (num_probes, n), dtype=dtype)
 
     def one(z):
-        alphas, betas = lanczos(matvec, z, lanczos_iters)
+        alphas, betas = lanczos(matvec, z, lanczos_iters, reorth=reorth)
         T = (jnp.diag(alphas) + jnp.diag(betas, 1) + jnp.diag(betas, -1))
         w, U = jnp.linalg.eigh(T)
         w = jnp.maximum(w, 1e-30)
@@ -108,7 +134,7 @@ def slq_logdet(matvec: Callable, n: int, key, num_probes: int = 16,
 def slq_logdet_adaptive(matvec: Callable, n: int, key, tol_abs: float,
                         lanczos_iters: int = 25, chunk: int = 8,
                         min_probes: int = 16, max_probes: int = 256,
-                        dtype=jnp.float64):
+                        dtype=jnp.float64, reorth: bool = True):
     """SLQ log det with ADAPTIVE probe count: draws Rademacher probes in
     chunks until the Monte-Carlo standard error of the estimate drops
     below ``tol_abs`` (or ``max_probes`` is hit) — a user-tolerance knob
@@ -118,7 +144,7 @@ def slq_logdet_adaptive(matvec: Callable, n: int, key, tol_abs: float,
     Returns (logdet_estimate, probes_used, stderr)."""
 
     def one(z):
-        alphas, betas = lanczos(matvec, z, lanczos_iters)
+        alphas, betas = lanczos(matvec, z, lanczos_iters, reorth=reorth)
         T = (jnp.diag(alphas) + jnp.diag(betas, 1) + jnp.diag(betas, -1))
         w, U = jnp.linalg.eigh(T)
         w = jnp.maximum(w, 1e-30)

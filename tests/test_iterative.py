@@ -209,3 +209,26 @@ def test_adaptive_slq_uses_more_probes_when_tight():
                                     min_probes=8, max_probes=512,
                                     dtype=A.dtype)
     assert abs(float(est) - ref) < 2.0            # 4× the stderr target
+
+
+def test_gradient_control_variate_accuracy():
+    """The preconditioner control variate in the Hutchinson backward
+    keeps dnlZ/dtheta within a few percent of dense autodiff at only 8
+    probes, in BOTH spectrum regimes (long lengthscale: low-rank part
+    carries the variate; short: the exact-diagonal correction does)."""
+    from pygps_tpu.inference import exact
+
+    rng = np.random.default_rng(3)
+    n = 400
+    x = rng.uniform(-3, 3, (n, 2))
+    mean, lik = pg.mean.Zero(), pg.lik.Gauss(float(np.log(0.15)))
+    y = np.sin(x[:, 0]) + 0.3 * x[:, 1] + 0.15 * rng.standard_normal(n)
+
+    for log_ell, tol in ((0.3, 0.02), (-1.2, 0.08)):
+        g_ref = float(jax.grad(lambda l: exact.nlml(
+            mean, pg.cov.RBF(log_ell=l, log_sigma=0.1), lik, x, y))(log_ell))
+        g_it = float(jax.grad(lambda l: iterative.nlml(
+            mean, pg.cov.RBF(log_ell=l, log_sigma=0.1), lik, x, y,
+            seed=0, num_probes=8, lanczos_iters=25, cg_tol=1e-10,
+            cg_iters=1024, precond_rank=60))(log_ell))
+        assert abs(g_it - g_ref) / abs(g_ref) < tol, (log_ell, g_it, g_ref)
