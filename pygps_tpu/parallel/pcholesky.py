@@ -19,10 +19,11 @@ Algorithm per panel k (nb = n/b panels, owner = k mod p):
      panel column is written.
 
 Load balance comes from the block-cyclic assignment (every panel's trailing
-work is spread over all devices).  FLOP count is ~n³/(2p) per device
-(full-width updates; the n³/(3p) ideal needs dynamic trailing widths,
-which XLA's static shapes disallow — accepted overhead, revisit with a
-Pallas kernel).
+work is spread over all devices).  FLOP count is ~n³/(3p) per device —
+the triangular ideal: column chunks left of the panel are skipped via
+``lax.cond``, and each chunk updates only the static suffix of local row
+blocks that the lower triangle can touch (the block-cyclic local→global
+map is monotone, so "rows ≥ chunk start" is a static slice per chunk).
 
 Solves are block forward/backward substitution with psum broadcasts of the
 O(b) pivot vectors; the distributed inverse (for NLML gradients) streams
@@ -115,19 +116,32 @@ def _pchol_local(A, *, p, m, b, n, axis, n_col_chunks=16,
             start = c * cw
             Pc = P_cols[start:start + cw]              # (cw, b) static slice
             needed = (start + cw) > (cs + b)
+            # triangular row skip: only rows ≥ the chunk's first column
+            # ever receive updates from this chunk (lower triangle), and
+            # under the block-cyclic layout those form a STATIC suffix of
+            # local blocks (local ℓ ↔ global d + p·ℓ is monotone).  l0 is
+            # the conservative (min over devices) suffix start — over-
+            # includes < 1 block/device, and `start` is a Python int, so
+            # the slice is static.  Combined with the column-chunk skip
+            # this takes the update FLOPs from n³/(2p) full-width to the
+            # ~n³/(3p) triangular ideal with no Pallas and no dynamic
+            # shapes.
+            l0 = max(0, -(-(start // b - (p - 1)) // p))
+            mc = m - l0
+            Lc = Lflat[l0 * b:]                        # ((m-l0)·b, b)
 
-            def upd(ops):
+            def upd(ops, mc=mc, cw=cw):
                 Lf, Pcc = ops
                 if update_dtype is not None:
                     Pcc = Pcc.astype(update_dtype)
                 return jnp.matmul(Lf, Pcc.T,
                                   preferred_element_type=A.dtype
-                                  ).astype(A.dtype).reshape(m, b, cw)
+                                  ).astype(A.dtype).reshape(mc, b, cw)
 
             delta = lax.cond(needed, upd,
-                             lambda ops: jnp.zeros((m, b, cw), A.dtype),
-                             (Lflat, Pc))
-            A = A.at[:, :, start:start + cw].add(-delta)
+                             lambda ops: jnp.zeros((mc, b, cw), A.dtype),
+                             (Lc, Pc))
+            A = A.at[l0:, :, start:start + cw].add(-delta)
         return A
 
     return lax.fori_loop(0, nb, panel, A)
