@@ -197,6 +197,49 @@ def _frozen(functor):
     return jax.tree_util.tree_map(lax.stop_gradient, functor)
 
 
+def _auto_pre_rank(n):
+    """Default low-rank pre-EP rank: off for small n (dense sweeps are
+    cheap there), 256 once the dense per-sweep O(n³) dominates."""
+    return 0 if n < 2048 else 256
+
+
+def _lowrank_presolve(K, m, lik, y, ttau0, tnu0, rank):
+    """Cold-start accelerator: converge EP on a rank-``rank``
+    pivoted-Cholesky surrogate of K (exact diagonal + top eigenspace,
+    FITCOps Woodbury algebra → O(n·rank²) per sweep, ~100× cheaper than
+    a dense sweep at n=4096), then hand the sites to the dense loop as a
+    warm start.  The dense fixed point is then typically 2 sweeps away
+    instead of 7–9.  No reference counterpart (the reference's only
+    warm start is the stateful site cache, inf.py:~500); this is the
+    TPU-native schedule for the same sweep loop.
+
+    Applied only when the incoming sites are cold — a warm start from
+    the optimizer's previous step is already better than the surrogate
+    fixed point."""
+    from pygps_tpu.inference.priors import FITCOps
+    from pygps_tpu.utils.pchol import pivoted_cholesky
+
+    K = lax.stop_gradient(K)
+    rank = min(int(rank), K.shape[0])
+
+    def cold(_):
+        row_fn = lambda i: lax.dynamic_index_in_dim(K, i, 0,
+                                                    keepdims=False)
+        Lpc, _ = pivoted_cholesky(row_fn, jnp.diag(K), rank)
+        D = jnp.maximum(jnp.diag(K) - jnp.sum(Lpc * Lpc, axis=0), 1e-10)
+        pre_ops = FITCOps(D=D, V=Lpc)
+        t, v, _, _ = _ep_sweeps(pre_ops, lax.stop_gradient(m),
+                                _frozen(lik), lax.stop_gradient(y),
+                                ttau0, tnu0)
+        return t, v
+
+    def warm(_):
+        return ttau0, tnu0
+
+    is_cold = jnp.logical_and(jnp.all(ttau0 == 0.0), jnp.all(tnu0 == 0.0))
+    return lax.cond(is_cold, cold, warm, None)
+
+
 def nlml_ops(ops, m, lik, y, ttau0=None, tnu0=None):
     """Differentiable EP NLML over a prior operator (sites found without
     gradients, held fixed for the energy — valid by EP stationarity)."""
@@ -219,9 +262,15 @@ def nlml_with_sites_ops(ops, m, lik, y, ttau0, tnu0):
     return _energy(ops, m, lik, y, sg(ttau), sg(tnu)), (sg(ttau), sg(tnu))
 
 
-def nlml_with_sites(mean, kernel, lik, x, y, ttau0, tnu0):
+def nlml_with_sites(mean, kernel, lik, x, y, ttau0, tnu0, pre_rank=None):
     ops = DenseOps(kernel.Ktrain(x))
-    return nlml_with_sites_ops(ops, mean(x), lik, y, ttau0, tnu0)
+    m = mean(x)
+    pre_rank = _auto_pre_rank(y.shape[0]) if pre_rank is None else pre_rank
+    if pre_rank > 0:
+        ttau0, tnu0 = _lowrank_presolve(ops.K, m, lik, y,
+                                        lax.stop_gradient(ttau0),
+                                        lax.stop_gradient(tnu0), pre_rank)
+    return nlml_with_sites_ops(ops, m, lik, y, ttau0, tnu0)
 
 
 def fitc_nlml_with_sites(mean, kernel, lik, x, y, ttau0, tnu0):
@@ -240,17 +289,30 @@ def _alpha_from_sites(ops, m, ttau, tnu):
 # ---------------------------------------------------------------------------
 
 
-def nlml(mean, kernel, lik, x, y, ttau0=None, tnu0=None):
-    ops = DenseOps(kernel.Ktrain(x))
-    return nlml_ops(ops, mean(x), lik, y, ttau0, tnu0)
-
-
-def evaluate(mean, kernel, lik, x, y, ttau0=None, tnu0=None):
+def nlml(mean, kernel, lik, x, y, ttau0=None, tnu0=None, pre_rank=None):
     ops = DenseOps(kernel.Ktrain(x))
     m = mean(x)
     if ttau0 is None:
         ttau0 = jnp.zeros_like(y)
         tnu0 = jnp.zeros_like(y)
+    pre_rank = _auto_pre_rank(y.shape[0]) if pre_rank is None else pre_rank
+    if pre_rank > 0:
+        ttau0, tnu0 = _lowrank_presolve(ops.K, m, lik, y,
+                                        lax.stop_gradient(ttau0),
+                                        lax.stop_gradient(tnu0), pre_rank)
+    return nlml_ops(ops, m, lik, y, ttau0, tnu0)
+
+
+def evaluate(mean, kernel, lik, x, y, ttau0=None, tnu0=None, pre_rank=None):
+    ops = DenseOps(kernel.Ktrain(x))
+    m = mean(x)
+    if ttau0 is None:
+        ttau0 = jnp.zeros_like(y)
+        tnu0 = jnp.zeros_like(y)
+    pre_rank = _auto_pre_rank(y.shape[0]) if pre_rank is None else pre_rank
+    if pre_rank > 0:
+        ttau0, tnu0 = _lowrank_presolve(ops.K, m, lik, y, ttau0, tnu0,
+                                        pre_rank)
     ttau, tnu, nlZ, _ = _ep_sweeps(ops, m, lik, y, ttau0, tnu0)
     alpha, aux = _alpha_from_sites(ops, m, ttau, tnu)
     L, is_tril = ops.posterior_L(aux)

@@ -126,3 +126,21 @@ def test_gpc_logistic_likelihood():
     assert np.isfinite(nlZ)
     ym, *_ = m.predict(x)
     assert np.mean(np.sign(ym[:, 0]) == y) > 0.9
+
+
+def test_ep_lowrank_presolve_same_fixed_point():
+    """The low-rank pre-EP cold-start accelerator lands on the same dense
+    fixed point (nlZ and sites) as plain cold-started dense EP."""
+    import jax.numpy as jnp
+    from pygps_tpu.inference import ep as iep
+
+    rng = np.random.default_rng(11)
+    n = 300
+    x = jnp.asarray(rng.standard_normal((n, 2)))
+    y = jnp.asarray(np.sign(np.asarray(x)[:, 0] +
+                            0.3 * rng.standard_normal(n)))
+    mean, kern, lk = pg.mean.Zero(), pg.cov.RBF(0.2, 0.3), pg.lik.Erf()
+    _, nlZ0, (tt0, tn0) = iep.evaluate(mean, kern, lk, x, y, pre_rank=0)
+    _, nlZ1, (tt1, tn1) = iep.evaluate(mean, kern, lk, x, y, pre_rank=64)
+    assert abs(float(nlZ0) - float(nlZ1)) < 5e-3
+    assert np.allclose(np.asarray(tt0), np.asarray(tt1), atol=5e-3)
