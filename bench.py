@@ -132,15 +132,27 @@ def run():
     # ---- speed-of-light calibration: peak HIGHEST-f32 matmul rate on the
     # SAME chip, same run (the MXU rate every O(n³) op is bounded by) ----
     m = 4096
-    A = jnp.ones((m, m), dtype)
-    mm = jax.jit(lambda a: a @ a)
-    float(mm(A)[0, 0])            # compile
+    mm_inner = 10
+    A = jnp.ones((m, m), dtype) * (1.0 / m)
+    # Protocol mirrors the main measurement: a chain of sequentially
+    # dependent matmuls inside ONE jit (amortizes the ~5 ms axon dispatch
+    # floor), with the scalar extracted INSIDE jit (host-side indexing
+    # would pull the full 64 MB product over the tunnel).
+
+    @jax.jit
+    def mm(a):
+        def step(acc, _):
+            return (acc @ acc) * jnp.float32(1.0), None
+        out, _ = jax.lax.scan(step, a, None, length=mm_inner)
+        return out[0, 0]
+
+    float(mm(A))                  # compile
     mm_times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        float(mm(A)[0, 0])
+        float(mm(A))
         mm_times.append(time.perf_counter() - t0)
-    peak_tf = 2 * m**3 / statistics.median(mm_times) / 1e12
+    peak_tf = mm_inner * 2 * m**3 / statistics.median(mm_times) / 1e12
 
     # algorithmic FLOPs of one NLML+grad eval (dominant terms): forward
     # Cholesky n³/3 + backward explicit inverse (5n³/3 GEMM-form via

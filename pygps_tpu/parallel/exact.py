@@ -60,9 +60,10 @@ def make_dist_nlml_core(mesh_: Mesh, axis: str = "shard",
     """Returns nlml_core(K_bc, m, sn2, y) -> nlZ with analytic VJP.
 
     ``update_dtype=jnp.bfloat16`` runs the Cholesky trailing-update GEMMs
-    (the n³/(2p) FLOP hot spot) in bf16 with f32 accumulation — panels,
-    diagonal factorizations, solves, and the backward inverse stay full
-    precision.  Error budget characterized in
+    (the n³/(3p) FLOP hot spot) AND the backward inverse's coupling GEMMs
+    (2n³/p) in bf16 with f32 accumulation — panels, diagonal
+    factorizations, and triangular solves stay full precision.  Error
+    budget characterized in
     tests/test_parallel.py::test_distributed_exact_bf16_updates."""
 
     @jax.custom_vjp
@@ -86,7 +87,8 @@ def make_dist_nlml_core(mesh_: Mesh, axis: str = "shard",
     def bwd(res, g):
         L, alpha, sn2 = res
         p, m, b, n = L.shape
-        Kinv_bc = pinv_chol(L, mesh_, axis)        # (p, m, b, n) of K̃⁻¹
+        Kinv_bc = pinv_chol(L, mesh_, axis,
+                            update_dtype=update_dtype)  # (p,m,b,n) of K̃⁻¹
 
         def q_local(Ki, al):
             Ki = Ki[0]

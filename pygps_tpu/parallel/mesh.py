@@ -26,10 +26,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(n_devices: int | None = None, axis: str = "shard",
               devices=None) -> Mesh:
-    """1-D mesh over the first ``n_devices`` available devices."""
+    """1-D mesh over the first ``n_devices`` available devices.
+
+    Raises when fewer than ``n_devices`` devices exist — a silently
+    truncated mesh would make "distributed" tests/dryruns validate p=1."""
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"make_mesh({n_devices}) but only {len(devices)} device(s) "
+                f"visible ({devices[:2]}…). For a virtual mesh set "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count={n_devices}"
+                " and pin jax.config.update('jax_platforms', 'cpu') before "
+                "any backend use.")
         devices = devices[:n_devices]
     return Mesh(np.array(devices), axis_names=(axis,))
 

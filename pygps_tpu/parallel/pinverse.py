@@ -20,14 +20,20 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 
 def pinv_chol(L_bc: jax.Array, mesh: Mesh, axis: str = "shard",
-              n_row_chunks: int = 8) -> jax.Array:
+              n_row_chunks: int = 8, update_dtype=None) -> jax.Array:
     """B⁻¹ (bc row layout) from the bc-layout factor L of B.
 
     Both solve phases chunk their (n-long) contraction dimension into
     ``n_row_chunks`` static pieces and skip the structurally-zero half
     with ``lax.cond`` (forward: Z rows ≥ the active panel are still zero;
     backward: X rows ≤ the active panel are not yet filled) — ~2n³/p
-    FLOPs instead of 4n³/p, same arithmetic."""
+    FLOPs instead of 4n³/p, same arithmetic.
+
+    ``update_dtype=jnp.bfloat16`` feeds the chunked coupling GEMMs (the
+    2n³/p hot FLOPs) bf16 operands with f32 accumulation; the b×b
+    triangular solves and the solution panels stay f32.  Same error
+    envelope as the pcholesky bf16 trailing updates (gradients ~1 % rel,
+    tests/test_parallel.py)."""
     p, m, b, n = L_bc.shape
     nb = m * p
     nloc = m * b
@@ -64,6 +70,10 @@ def pinv_chol(L_bc: jax.Array, mesh: Mesh, axis: str = "shard",
 
                 def part(ops):
                     r_, z_ = ops
+                    if update_dtype is not None:
+                        return jnp.matmul(r_.astype(update_dtype),
+                                          z_.astype(update_dtype),
+                                          preferred_element_type=L.dtype)
                     return r_ @ z_
 
                 S = S + lax.cond(
@@ -99,6 +109,10 @@ def pinv_chol(L_bc: jax.Array, mesh: Mesh, axis: str = "shard",
 
                 def part(ops):
                     c_, x_ = ops
+                    if update_dtype is not None:
+                        return jnp.matmul(c_.T.astype(update_dtype),
+                                          x_.astype(update_dtype),
+                                          preferred_element_type=L.dtype)
                     return c_.T @ x_
 
                 S = S + lax.cond(
