@@ -22,6 +22,15 @@ from jax import lax, shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 
+# Local Gram slabs above this element count are built (and, crucially,
+# backpropagated) one block-row chunk at a time under jax.checkpoint: the
+# kernel VJP otherwise rematerializes 2-3 slab-sized intermediates (the
+# pairwise-distance matrix, the exp'd Gram, the cotangent product) at
+# once — the 16.26 GiB OOM at n=32768 p=1 (SCALING.md §A).  Below the
+# threshold the one-shot path is kept (fewer dispatches, same math).
+_CHUNK_SLAB_ELEMS = 3 * 10**8
+
+
 def gram_bc(kernel, x: jax.Array, mesh: Mesh, b: int,
             axis: str = "shard", noise_diag=None) -> jax.Array:
     """Block-cyclic sharded train Gram (p, m, b, n); optionally adds
@@ -31,6 +40,7 @@ def gram_bc(kernel, x: jax.Array, mesh: Mesh, b: int,
     n, dd = x.shape
     assert n % (b * p) == 0, "pad inputs to a multiple of block*devices"
     m = n // (b * p)
+    chunk_rows = m >= 2 and (m * b * n) > _CHUNK_SLAB_ELEMS
 
     def body(kern, xloc):
         d = lax.axis_index(axis)
@@ -38,7 +48,12 @@ def gram_bc(kernel, x: jax.Array, mesh: Mesh, b: int,
         rows = jax.vmap(
             lambda g: lax.dynamic_slice(xloc, (g * b, 0), (b, dd))
         )(gidx)                                   # (m, b, d)
-        Kr = kern._cross(rows.reshape(m * b, dd), xloc).reshape(m, b, n)
+        if chunk_rows:
+            Kr = lax.map(
+                jax.checkpoint(lambda rb: kern._cross(rb, xloc)),
+                rows)                              # (m, b, n)
+        else:
+            Kr = kern._cross(rows.reshape(m * b, dd), xloc).reshape(m, b, n)
         if noise_diag is not None:
             col = jax.vmap(lambda g: g * b + jnp.arange(b))(gidx)  # (m, b)
             eye_rows = (col[:, :, None] ==

@@ -75,6 +75,28 @@ def test_gram_constructions_match_dense(msh):
     assert np.allclose(np.asarray(Kr), np.asarray(k.K(x, x)), atol=1e-12)
 
 
+def test_gram_bc_chunked_matches_oneshot(msh, monkeypatch):
+    """Force the big-slab chunked construction (lax.map + checkpoint)
+    and pin values AND kernel-parameter gradients against the one-shot
+    path — the chunking is a pure memory transform."""
+    from pygps_tpu.parallel import ring_gram as rg
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((N, 3)))
+    k = pg.cov.RBF(0.2, 0.1)
+
+    def loss(kern):
+        Kbc = gram_bc(kern, x, msh, B, noise_diag=jnp.asarray(0.1))
+        return jnp.sum(jnp.sin(Kbc))
+
+    v1, g1 = jax.value_and_grad(loss)(k)
+    monkeypatch.setattr(rg, "_CHUNK_SLAB_ELEMS", 0)   # force chunked
+    v2, g2 = jax.value_and_grad(loss)(k)
+    assert np.isclose(float(v1), float(v2), rtol=1e-12)
+    for a, b_ in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        assert np.allclose(np.asarray(a), np.asarray(b_), rtol=1e-10)
+
+
 def test_distributed_nlml_matches_dense(msh):
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.standard_normal((N, 2)))
