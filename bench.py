@@ -13,9 +13,12 @@ shape an optimizer actually drives).  A speed-of-light line is included:
 achieved TF/s over the peak HIGHEST-precision matmul rate measured on the
 SAME chip in the same run (self-calibrating MFU).
 
-Prints ONE JSON line:
+Prints the headline JSON line LAST (the driver parses the final line):
   {"metric": ..., "value": N, "unit": "evals/s", "vs_baseline": N,
    "tf_per_s": N, "sol_pct": N, "protocol": "median-of-7x20"}
+preceded by a secondary line at n=8192 — the regime where the round-2/3
+kernel work (fused Pallas Gram, GEMM-form backward inverse) dominates
+the runtime instead of dispatch/fusion latency.
 """
 
 from __future__ import annotations
@@ -58,6 +61,81 @@ def baseline_numpy_eval(x, y, log_ell=0.0, log_sf=0.0, log_sn=-1.0):
     return nlZ, g
 
 
+def _measure_descend(x, y, inner, reps):
+    """Median per-eval wall-clock of a scanned gradient-descent loop —
+    each NLML+grad eval at a different hyp point, sequentially dependent,
+    inside ONE jit call: steady-state device throughput rather than the
+    ~5 ms/dispatch latency floor of the axon tunnel, exactly the shape an
+    optimizer drives (optimize/optimizers.py)."""
+    import jax
+
+    import pygps_tpu as pg
+    from pygps_tpu.inference import exact
+
+    prior = (pg.mean.Zero(), pg.cov.RBF(0.0, 0.0), pg.lik.Gauss(-1.0))
+    vg = jax.value_and_grad(lambda pr: exact.nlml(pr[0], pr[1], pr[2], x, y))
+
+    @jax.jit
+    def descend(prior):
+        def step(pr, _):
+            v, g = vg(pr)
+            pr = jax.tree.map(lambda p, gi: p - 1e-3 * gi, pr, g)
+            return pr, v
+        return jax.lax.scan(step, prior, None, length=inner)
+
+    # Sync discipline: over the axon tunnel, block_until_ready can return
+    # before the device finishes (measured: a 4096^3 matmul "took"
+    # 0.08 ms).  A scalar device->host fetch is the only reliable barrier,
+    # so each timed rep ends with float(last nlZ value).
+    out = descend(prior)          # compile
+    float(out[1][-1])
+    per_eval = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = descend(prior)
+        float(out[1][-1])
+        per_eval.append((time.perf_counter() - t0) / inner)
+    return statistics.median(per_eval)
+
+
+def _peak_matmul_tf(reps=15, mm_inner=10, m=4096):
+    """Speed-of-light calibration: peak HIGHEST-f32 matmul rate on the
+    SAME chip, same run (the MXU rate every O(n³) op is bounded by).
+    15 reps (round-2 verdict: 5 reps swung the denominator ±20 %)."""
+    import jax
+    import jax.numpy as jnp
+
+    A = jnp.ones((m, m), jnp.float32) * (1.0 / m)
+    # Chain of sequentially dependent matmuls inside ONE jit (amortizes
+    # the axon dispatch floor); scalar extracted INSIDE jit (host-side
+    # indexing would pull the full 64 MB product over the tunnel).
+
+    @jax.jit
+    def mm(a):
+        def step(acc, _):
+            return (acc @ acc) * jnp.float32(1.0), None
+        out, _ = jax.lax.scan(step, a, None, length=mm_inner)
+        return out[0, 0]
+
+    float(mm(A))                  # compile
+    mm_times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(mm(A))
+        mm_times.append(time.perf_counter() - t0)
+    return mm_inner * 2 * m**3 / statistics.median(mm_times) / 1e12
+
+
+def _nlml_grad_flops(n, d):
+    """Algorithmic FLOPs of one NLML+grad eval (dominant terms): forward
+    Cholesky n³/3 + backward explicit inverse (5n³/3 GEMM-form via
+    ops/trtri.py, or 2n³ TRSM-form) + Gram/dK elementwise ~6n²d."""
+    from pygps_tpu import config
+
+    inv_flops = (5.0 / 3.0 if config.GEMM_INVERSE else 2.0) * n**3
+    return n**3 / 3.0 + inv_flops + 6.0 * n**2 * d
+
+
 def run():
     import os
 
@@ -75,10 +153,6 @@ def run():
 
     import jax.numpy as jnp
 
-    import pygps_tpu as pg
-    from pygps_tpu import config
-    from pygps_tpu.inference import exact
-
     x_np, y_np = _data()
 
     # ---- baseline (reference recipe, numpy f64 on CPU; median of 3 to
@@ -91,76 +165,38 @@ def run():
     t_base = statistics.median(times)
     base_eps = 1.0 / t_base
 
-    # ---- ours (jitted value_and_grad on the default device) ----
-    # The workload is a real gradient-descent loop (each NLML+grad eval at
-    # a different hyp point, sequentially dependent) scanned inside ONE jit
-    # call: this measures steady-state device throughput rather than the
-    # per-dispatch latency floor of the axon tunnel (~5 ms/call), exactly
-    # as an optimizer drives the engine (optimize/optimizers.py).
-    dtype = jnp.float32
-    x = jnp.asarray(x_np, dtype=dtype)
-    y = jnp.asarray(y_np, dtype=dtype)
-    prior = (pg.mean.Zero(), pg.cov.RBF(0.0, 0.0), pg.lik.Gauss(-1.0))
-    inner = 20  # NLML+grad evals per dispatch
+    peak_tf = _peak_matmul_tf()
 
-    vg = jax.value_and_grad(lambda pr: exact.nlml(pr[0], pr[1], pr[2], x, y))
+    # ---- secondary line: n=8192, the kernel-bound regime (fused Pallas
+    # Gram auto-enabled ≥512², GEMM-form backward inverse default-on) ----
+    N2 = 8192
+    rng = np.random.default_rng(1)
+    x2_np = rng.standard_normal((N2, D))
+    y2_np = np.sin(x2_np[:, 0]) + 0.1 * rng.standard_normal(N2)
+    t0 = time.perf_counter()
+    baseline_numpy_eval(x2_np, y2_np)   # one rep: ~35 s f64 on this host
+    t_base2 = time.perf_counter() - t0
+    t_ours2 = _measure_descend(jnp.asarray(x2_np, jnp.float32),
+                               jnp.asarray(y2_np, jnp.float32),
+                               inner=5, reps=5)
+    tf2 = _nlml_grad_flops(N2, D) / t_ours2 / 1e12
+    print(json.dumps({
+        "metric": f"exact_gp_nlml_grad_evals_per_s_n{N2}_d{D}",
+        "value": round(1.0 / t_ours2, 3),
+        "unit": "evals/s",
+        "vs_baseline": round(t_base2 / t_ours2, 2),
+        "tf_per_s": round(tf2, 2),
+        "peak_matmul_tf_per_s": round(peak_tf, 1),
+        "sol_pct": round(100.0 * tf2 / peak_tf, 1),
+        "protocol": "median-of-5x5; baseline 1 rep",
+    }))
 
-    @jax.jit
-    def descend(prior):
-        def step(pr, _):
-            v, g = vg(pr)
-            pr = jax.tree.map(lambda p, gi: p - 1e-3 * gi, pr, g)
-            return pr, v
-        return jax.lax.scan(step, prior, None, length=inner)
-
-    # Sync discipline: over the axon tunnel, block_until_ready can return
-    # before the device finishes (measured: a 4096^3 matmul "took" 0.08 ms).
-    # A scalar device->host fetch is the only reliable barrier, so each
-    # timed rep ends with float(last nlZ value).
-    out = descend(prior)          # compile
-    float(out[1][-1])
-    reps = 7
-    per_eval = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = descend(prior)
-        float(out[1][-1])
-        per_eval.append((time.perf_counter() - t0) / inner)
-    t_ours = statistics.median(per_eval)
+    # ---- headline: n=2048 (latency/fusion-bound small-op regime) ----
+    t_ours = _measure_descend(jnp.asarray(x_np, jnp.float32),
+                              jnp.asarray(y_np, jnp.float32),
+                              inner=20, reps=7)
     ours_eps = 1.0 / t_ours
-
-    # ---- speed-of-light calibration: peak HIGHEST-f32 matmul rate on the
-    # SAME chip, same run (the MXU rate every O(n³) op is bounded by) ----
-    m = 4096
-    mm_inner = 10
-    A = jnp.ones((m, m), dtype) * (1.0 / m)
-    # Protocol mirrors the main measurement: a chain of sequentially
-    # dependent matmuls inside ONE jit (amortizes the ~5 ms axon dispatch
-    # floor), with the scalar extracted INSIDE jit (host-side indexing
-    # would pull the full 64 MB product over the tunnel).
-
-    @jax.jit
-    def mm(a):
-        def step(acc, _):
-            return (acc @ acc) * jnp.float32(1.0), None
-        out, _ = jax.lax.scan(step, a, None, length=mm_inner)
-        return out[0, 0]
-
-    float(mm(A))                  # compile
-    mm_times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(mm(A))
-        mm_times.append(time.perf_counter() - t0)
-    peak_tf = mm_inner * 2 * m**3 / statistics.median(mm_times) / 1e12
-
-    # algorithmic FLOPs of one NLML+grad eval (dominant terms): forward
-    # Cholesky n³/3 + backward explicit inverse (5n³/3 GEMM-form via
-    # ops/trtri.py, or 2n³ TRSM-form) + Gram/dK elementwise ~6n²d
-    inv_flops = (5.0 / 3.0 if config.GEMM_INVERSE else 2.0) * N**3
-    flops = N**3 / 3.0 + inv_flops + 6.0 * N**2 * D
-    tf_per_s = flops / t_ours / 1e12
-    sol_pct = 100.0 * tf_per_s / peak_tf
+    tf_per_s = _nlml_grad_flops(N, D) / t_ours / 1e12
 
     print(json.dumps({
         "metric": f"exact_gp_nlml_grad_evals_per_s_n{N}_d{D}",
@@ -169,8 +205,8 @@ def run():
         "vs_baseline": round(ours_eps / base_eps, 2),
         "tf_per_s": round(tf_per_s, 2),
         "peak_matmul_tf_per_s": round(peak_tf, 1),
-        "sol_pct": round(sol_pct, 1),
-        "protocol": f"median-of-{reps}x{inner}",
+        "sol_pct": round(100.0 * tf_per_s / peak_tf, 1),
+        "protocol": "median-of-7x20",
     }))
 
 

@@ -39,31 +39,54 @@ from pygps_tpu.core.functor import Functor, register, _p
 from pygps_tpu.utils.tools import sq_dist
 
 
-_FUSED_GRAM = {"enabled": False}
+#: None = auto (default since round 3): fused Pallas Gram is used on TPU
+#: whenever the tile count is large enough to pay for the kernel launch
+#: (n·m ≥ _FUSED_AUTO_MIN_ELEMS).  True/False force it on/off globally.
+_FUSED_GRAM = {"enabled": None}
+
+#: Auto-mode size threshold (output elements).  Measured on v5e: the fused
+#: kernel wins from ~512² up (1.8× at n=8192, MEASUREMENTS.md); below that
+#: the XLA pipeline's fewer dispatches win.
+_FUSED_AUTO_MIN_ELEMS = 512 * 512
 
 
-def use_fused_gram(enabled: bool = True):
-    """Route RBF(+unit/ard)/Matern{1,3,5,7}/RQ(+ard) Gram evaluations
-    through the Pallas fused kernel (ops/gram_pallas.py); ARD variants
-    pre-scale inputs per-dimension and use the isotropic kernel at ℓ=1.
-    Opt-in: ~1.8x faster than the XLA pipeline on TPU for large n.
-    Safe under vmap since round 2: batching over the scalar
-    hyperparameters (NUTS chains / hyp grids over shared inputs) uses a
-    shared-distance batched Pallas kernel — each distance tile's MXU
-    work is computed once and reused across the whole batch; batching
-    over the inputs themselves falls back to a vmapped XLA pipeline."""
-    _FUSED_GRAM["enabled"] = bool(enabled)
+def use_fused_gram(enabled: bool | None = True):
+    """Route RBF(+unit/ard)/Matern{1,3,5,7}/RQ(+ard)/Periodic Gram
+    evaluations through the Pallas fused kernel (ops/gram_pallas.py); ARD
+    variants pre-scale inputs per-dimension and use the isotropic kernel
+    at ℓ=1.  Composites (Sum/Product/Scale) inherit the fused path through
+    their children.  ``None`` restores the default auto heuristic: fused
+    on TPU when the output has ≥ 512² elements.  Safe under vmap since
+    round 2: batching over the scalar hyperparameters (NUTS chains / hyp
+    grids over shared inputs) uses a shared-distance batched Pallas kernel
+    — each distance tile's MXU work is computed once and reused across the
+    whole batch; batching over the inputs themselves falls back to a
+    vmapped XLA pipeline.
+
+    .. note:: Trace-time capture, like :func:`config.use_gemm_inverse`:
+       already-compiled programs keep the path they were traced with."""
+    _FUSED_GRAM["enabled"] = None if enabled is None else bool(enabled)
 
 
-def _fused_enabled():
-    if not _FUSED_GRAM["enabled"]:
-        return False
+def _on_tpu():
     try:
         import jax as _jax
 
         return _jax.devices()[0].platform == "tpu"
     except Exception:  # pragma: no cover
         return False
+
+
+def _fused_enabled(x=None, z=None):
+    mode = _FUSED_GRAM["enabled"]
+    if mode is False or not _on_tpu():
+        return False
+    if mode is True:
+        return True
+    # auto: pay the Pallas launch only when the tile grid is big enough
+    if x is None or z is None or x.ndim != 2 or z.ndim != 2:
+        return False
+    return x.shape[0] * z.shape[0] >= _FUSED_AUTO_MIN_ELEMS
 
 
 class HashableArray:
@@ -186,7 +209,7 @@ class RBF(Kernel):
         self.log_sigma = _p(log_sigma)
 
     def _cross(self, x, z):
-        if _fused_enabled():
+        if _fused_enabled(x, z):
             from pygps_tpu.ops.gram_pallas import fused_gram
 
             return fused_gram("rbf", x, z, jnp.exp(-2.0 * self.log_ell),
@@ -211,7 +234,7 @@ class RBFunit(Kernel):
         self.log_ell = _p(log_ell)
 
     def _cross(self, x, z):
-        if _fused_enabled():
+        if _fused_enabled(x, z):
             from pygps_tpu.ops.gram_pallas import fused_gram
 
             return fused_gram("rbf", x, z, jnp.exp(-2.0 * self.log_ell),
@@ -237,7 +260,7 @@ class RBFard(Kernel):
         self.log_sigma = _p(log_sigma)
 
     def _cross(self, x, z):
-        if _fused_enabled():
+        if _fused_enabled(x, z):
             from pygps_tpu.ops.gram_pallas import fused_gram
 
             # ARD = per-dimension input scaling + isotropic kernel at ℓ=1
@@ -279,7 +302,7 @@ class Matern(Kernel):
         self.d = int(d)
 
     def _cross(self, x, z):
-        if _fused_enabled():
+        if _fused_enabled(x, z):
             from pygps_tpu.ops.gram_pallas import fused_gram
 
             return fused_gram(f"matern{self.d}", x, z,
@@ -309,7 +332,7 @@ class Periodic(Kernel):
         self.log_sigma = _p(log_sigma)
 
     def _cross(self, x, z):
-        if _fused_enabled():
+        if _fused_enabled(x, z):
             from pygps_tpu.ops.gram_pallas import fused_gram
 
             pre = (jnp.pi * jnp.exp(-self.log_p)) ** 2    # (π/p)²
@@ -341,7 +364,7 @@ class RQ(Kernel):
         self.log_alpha = _p(log_alpha)
 
     def _cross(self, x, z):
-        if _fused_enabled():
+        if _fused_enabled(x, z):
             from pygps_tpu.ops.gram_pallas import fused_gram
 
             return fused_gram("rq", x, z, jnp.exp(-2.0 * self.log_ell),
@@ -372,7 +395,7 @@ class RQard(Kernel):
         self.log_alpha = _p(log_alpha)
 
     def _cross(self, x, z):
-        if _fused_enabled():
+        if _fused_enabled(x, z):
             from pygps_tpu.ops.gram_pallas import fused_gram
 
             s = jnp.exp(-self.log_ell)[None, :]

@@ -121,10 +121,11 @@ class DistributedExact:
     caller (models pad transparently via utils; see bench.py).
 
     ``precision``: "highest" (default, true-f32 trailing updates) or
-    "bf16" — Cholesky trailing-update GEMMs in bf16 with f32 accumulation
-    (~2× MXU rate on v5e); panels/diagonals/solves/backward stay f32.
-    Use where downstream tolerances allow (NLML for sampling/optimization
-    steps — not tight posterior solves); error budget in
+    "bf16" — Cholesky trailing-update GEMMs AND the backward inverse's
+    2n³/p coupling GEMMs run in bf16 with f32 accumulation (~2× MXU rate
+    on v5e); panels, diagonal factorizations, and triangular solves stay
+    f32.  Use where downstream tolerances allow (NLML for sampling /
+    optimization steps — not tight posterior solves); error budget in
     tests/test_parallel.py::test_distributed_exact_bf16_updates.
     """
 

@@ -88,10 +88,16 @@ def pinv_chol(L_bc: jax.Array, mesh: Mesh, axis: str = "shard",
 
         Z = lax.fori_loop(0, nb, fwd, jnp.zeros((n, nloc), L.dtype))
 
-        # ---- backward: X = L⁻ᵀ Z ----
+        # ---- backward: X = L⁻ᵀ Z, IN PLACE over the Z buffer ----
+        # The backward substitution runs k = nb-1 .. 0; at step k it reads
+        # Z only at row block k and X only at row blocks > k (already
+        # written).  Overwriting Z row-block k with X_k is therefore safe
+        # and halves the solve-phase footprint (one (n, nloc) buffer
+        # instead of two — at n=32768 p=1 that is a 4 GiB saving, part of
+        # the n≈24k NLML-gradient memory-wall fix, SCALING.md §A).
         row_block = jnp.arange(n) // b
 
-        def bwd(i, X):
+        def bwd(i, ZX):
             k = nb - 1 - i
             cs = k * b
             # full panel column L[:, cs:cs+b]: gather local contributions
@@ -100,7 +106,8 @@ def pinv_chol(L_bc: jax.Array, mesh: Mesh, axis: str = "shard",
             col = jnp.swapaxes(C_all, 0, 1).reshape(n, b)
             L_kk = lax.dynamic_slice(col, (cs, cs * 0), (b, b))
             # strict sub-panel only (rows > block k) for the coupling term;
-            # X rows ≤ panel end are not yet filled → skip those chunks
+            # ZX rows ≤ panel end still hold Z (not yet overwritten) →
+            # skip those chunks
             col_strict = jnp.where((row_block > k)[:, None], col, 0.0)
             S = jnp.zeros((b, nloc), L.dtype)
             for c in range(nchunks):
@@ -118,13 +125,13 @@ def pinv_chol(L_bc: jax.Array, mesh: Mesh, axis: str = "shard",
                 S = S + lax.cond(
                     needed, part,
                     lambda ops: jnp.zeros((b, nloc), L.dtype),
-                    (col_strict[start:start + ch], X[start:start + ch]))
-            Z_k = lax.dynamic_slice(Z, (cs, cs * 0), (b, nloc))
+                    (col_strict[start:start + ch], ZX[start:start + ch]))
+            Z_k = lax.dynamic_slice(ZX, (cs, cs * 0), (b, nloc))
             X_k = lax.linalg.triangular_solve(
                 L_kk, Z_k - S, left_side=True, lower=True, transpose_a=True)
-            return lax.dynamic_update_slice(X, X_k, (cs, cs * 0))
+            return lax.dynamic_update_slice(ZX, X_k, (cs, cs * 0))
 
-        X = lax.fori_loop(0, nb, bwd, jnp.zeros((n, nloc), L.dtype))
+        X = lax.fori_loop(0, nb, bwd, Z)
         # X[:, mycols] = B⁻¹[:, mycols]; symmetry → my row blocks are the
         # block-transposes of my column slabs
         Xb = X.reshape(n, m, b)                 # columns grouped by my blocks

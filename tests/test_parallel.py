@@ -227,8 +227,10 @@ def test_distgpr_model(msh):
 def test_distributed_exact_bf16_updates(msh):
     """Engine-level mixed precision (DistributedExact(precision="bf16")):
     NLML and hyperparameter gradients stay within the documented budget of
-    the full-precision engine — the error enters only through the Cholesky
-    trailing-update GEMMs (panels/solves/backward stay full precision)."""
+    the full-precision engine — the error enters through the Cholesky
+    trailing-update GEMMs and the backward inverse's coupling GEMMs (both
+    bf16 with f32 accumulation); panels, diagonal factorizations, and
+    triangular solves stay full precision."""
     from jax.flatten_util import ravel_pytree
 
     rng = np.random.default_rng(9)
