@@ -127,41 +127,86 @@ class DistributedExact:
     f32.  Use where downstream tolerances allow (NLML for sampling /
     optimization steps — not tight posterior solves); error budget in
     tests/test_parallel.py::test_distributed_exact_bf16_updates.
+
+    ``layout``: "1d" (default — block-cyclic row layout, constant
+    per-device panel traffic) or "2d" — the (pr × pc) process grid
+    (SURVEY.md §2.2 TP row) where per-device per-panel volume drops to
+    n·b/pr + n·b/pc, mandatory at pod scale.  With layout="2d", pass a
+    2-axis mesh (see exact2d.make_grid_mesh) or let the engine build a
+    near-square grid from the visible devices; Gram, factor, solves,
+    inverse, and prediction all stay in the 2-D layout end-to-end.
     """
 
     def __init__(self, mesh_: Mesh | None = None, block: int = 256,
-                 axis: str = "shard", precision: str = "highest"):
-        self.mesh = mesh_ if mesh_ is not None else pmesh.make_mesh()
-        self.block = block
-        self.axis = axis
+                 axis: str = "shard", precision: str = "highest",
+                 layout: str = "1d"):
         if precision not in ("highest", "bf16"):
             raise ValueError(f"unknown precision {precision!r}")
+        if layout not in ("1d", "2d"):
+            raise ValueError(f"unknown layout {layout!r}")
+        self.block = block
+        self.layout = layout
         self.update_dtype = jnp.bfloat16 if precision == "bf16" else None
-        self._core = make_dist_nlml_core(self.mesh, axis,
-                                         update_dtype=self.update_dtype)
+        if layout == "2d":
+            from pygps_tpu.parallel import exact2d
+
+            if mesh_ is None or len(mesh_.axis_names) != 2:
+                import numpy as np
+
+                ndev = (mesh_.devices.size if mesh_ is not None
+                        else len(jax.devices()))
+                pr = int(np.floor(np.sqrt(ndev)))
+                while ndev % pr != 0:
+                    pr -= 1
+                mesh_ = exact2d.make_grid_mesh(pr, ndev // pr)
+            self.mesh = mesh_
+            self.axes = tuple(mesh_.axis_names)
+            self._core = exact2d.make_dist_nlml_core2d(
+                self.mesh, self.axes, update_dtype=self.update_dtype)
+        else:
+            self.mesh = mesh_ if mesh_ is not None else pmesh.make_mesh()
+            self.axis = axis
+            self._core = make_dist_nlml_core(self.mesh, axis,
+                                             update_dtype=self.update_dtype)
+
+    def _gram(self, kernel, x):
+        if self.layout == "2d":
+            from pygps_tpu.parallel.exact2d import gram_bc2d
+
+            return gram_bc2d(kernel, x, self.mesh, self.block, self.axes)
+        return gram_bc(kernel, x, self.mesh, self.block, self.axis)
 
     def nlml(self, mean, kernel, lik, x, y):
         sn2 = jnp.exp(2.0 * lik.log_sigma)
-        K_bc = gram_bc(kernel, x, self.mesh, self.block, self.axis)
+        K_sh = self._gram(kernel, x)
         mvec = mean(x)
-        return self._core(K_bc, mvec, sn2, y)
+        return self._core(K_sh, mvec, sn2, y)
 
     def posterior_parts(self, mean, kernel, lik, x, y):
-        """(L_bc, alpha, sn2): enough to predict (alpha replicated).
+        """(L_sharded, alpha, sn2): enough to predict (alpha replicated).
         Always full precision — posterior solves need the tight factor."""
         sn2 = jnp.exp(2.0 * lik.log_sigma)
-        K_bc = gram_bc(kernel, x, self.mesh, self.block, self.axis)
+        K_sh = self._gram(kernel, x)
         r = y - mean(x)
-        L, alpha_tilde, _ = _factor_solve(K_bc, r, sn2, self.mesh, self.axis)
+        if self.layout == "2d":
+            from pygps_tpu.parallel.exact2d import _factor_solve2d
+
+            L, alpha_tilde, _ = _factor_solve2d(K_sh, r, sn2, self.mesh,
+                                                self.axes)
+        else:
+            L, alpha_tilde, _ = _factor_solve(K_sh, r, sn2, self.mesh,
+                                              self.axis)
         return L, alpha_tilde, sn2
 
     def predict(self, mean, kernel, lik, x, y, xs, parts=None):
         """(ym, ys2, fm, fs2): full distributed predictive at xs.
 
         μ* = m(x*) + K*ᵀ K̃⁻¹ (y−m);  σ*² = k** − ‖L⁻¹K*‖² with L the
-        distributed factor of K̃ = K + sn2·I (solved via psolve_tril).
+        distributed factor of K̃ = K + sn2·I (solved via psolve_tril /
+        its 2-D-layout counterpart — no densification either way).
         """
         from pygps_tpu.parallel.pcholesky import psolve_tril
+        from pygps_tpu.parallel.exact2d import psolve_tril2d
 
         if parts is None:
             parts = self.posterior_parts(mean, kernel, lik, x, y)
@@ -170,7 +215,10 @@ class DistributedExact:
         kss = kernel.Kdiag(xs)
         ms = mean(xs)
         fmu = ms + Ks.T @ alpha
-        V = psolve_tril(L, Ks, self.mesh, self.axis)
+        if self.layout == "2d":
+            V = psolve_tril2d(L, Ks, self.mesh, self.axes)
+        else:
+            V = psolve_tril(L, Ks, self.mesh, self.axis)
         fs2 = jnp.maximum(kss - jnp.sum(V * V, axis=0), 0.0)
         _, ymu, ys2 = lik.predict(fmu, fs2)
         return ymu, ys2, fmu, fs2

@@ -80,3 +80,135 @@ def test_pcholesky2d_bf16_updates(grid):
     # reconstruction error is the meaningful metric
     rec = L @ L.T
     assert np.allclose(rec, np.asarray(A), rtol=2e-2, atol=2e-2 * N)
+
+
+# ---------------------------------------------------------------------------
+# Round 3: the 2-D layout as a full engine (solves / inverse / NLML+grad)
+# ---------------------------------------------------------------------------
+
+
+def test_psolve_chol2d_matches_dense(grid):
+    from pygps_tpu.parallel import exact2d as e2
+
+    A = _spd(N, seed=11)
+    rng = np.random.default_rng(1)
+    r = jnp.asarray(rng.standard_normal(N))
+    A2 = p2.shard_bc2d(p2.to_block_cyclic_2d(A, B, PR, PC), grid)
+    L2 = p2.pcholesky2d(A2, grid)
+    x = np.asarray(e2.psolve_chol2d(L2, r, grid))
+    ref = np.linalg.solve(np.asarray(A), np.asarray(r))
+    assert np.allclose(x, ref, atol=1e-9 * N)
+
+
+def test_psolve_tril2d_matches_dense(grid):
+    from pygps_tpu.parallel import exact2d as e2
+
+    A = _spd(N, seed=12)
+    rng = np.random.default_rng(2)
+    R = jnp.asarray(rng.standard_normal((N, 5)))
+    A2 = p2.shard_bc2d(p2.to_block_cyclic_2d(A, B, PR, PC), grid)
+    L2 = p2.pcholesky2d(A2, grid)
+    Z = np.asarray(e2.psolve_tril2d(L2, R, grid))
+    Lref = np.linalg.cholesky(np.asarray(A))
+    ref = np.linalg.solve(Lref, np.asarray(R))
+    assert np.allclose(Z, ref, atol=1e-9 * N)
+
+
+def test_pinv_chol2d_matches_dense(grid):
+    from pygps_tpu.parallel import exact2d as e2
+
+    A = _spd(N, seed=13)
+    A2 = p2.shard_bc2d(p2.to_block_cyclic_2d(A, B, PR, PC), grid)
+    L2 = p2.pcholesky2d(A2, grid)
+    X2 = e2.pinv_chol2d(L2, grid)
+    X = np.asarray(p2.from_block_cyclic_2d(X2))
+    ref = np.linalg.inv(np.asarray(A))
+    assert np.allclose(X, ref, atol=1e-10 * N)
+
+
+def test_pinv_chol2d_uneven_chunks(grid):
+    """Chunk widths that do not divide evenly: exercises the fallback
+    chunk shrink and the dynamic skip conditions at odd alignments."""
+    from pygps_tpu.parallel import exact2d as e2
+
+    n, b = 192, 8          # nb = 24; mr = 12, mc = 6 on the 2×4 grid
+    A = _spd(n, seed=14)
+    A2 = p2.shard_bc2d(p2.to_block_cyclic_2d(A, b, PR, PC), grid)
+    L2 = p2.pcholesky2d(A2, grid)
+    X2 = e2.pinv_chol2d(L2, grid, n_chunks=5)
+    X = np.asarray(p2.from_block_cyclic_2d(X2))
+    assert np.allclose(X, np.linalg.inv(np.asarray(A)), atol=1e-10 * n)
+
+
+def test_gram_bc2d_matches_dense(grid):
+    from pygps_tpu.parallel import exact2d as e2
+    import pygps_tpu as pg
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((N, 3)))
+    kern = pg.cov.RBF(0.3, 0.1)
+    K2 = e2.gram_bc2d(kern, x, grid, B, noise_diag=0.25)
+    K = np.asarray(p2.from_block_cyclic_2d(K2))
+    ref = np.asarray(kern.Ktrain(x)) + 0.25 * np.eye(N)
+    assert np.allclose(K, ref, atol=1e-10)
+
+
+def test_distributed_exact_2d_nlml_grad(grid):
+    """End-to-end: DistributedExact(layout='2d') NLML + full hyp gradient
+    matches the dense single-device engine to 1e-9 — the round-2 verdict
+    bar for promoting the 2-D grid to a full engine."""
+    from jax.flatten_util import ravel_pytree
+
+    import pygps_tpu as pg
+    from pygps_tpu.inference import exact as dense_exact
+    from pygps_tpu.parallel.exact import DistributedExact
+
+    rng = np.random.default_rng(21)
+    n = 256
+    x = jnp.asarray(rng.standard_normal((n, 3)))
+    y = jnp.asarray(np.sin(np.asarray(x)[:, 0])
+                    + 0.1 * rng.standard_normal(n))
+    prior = (pg.mean.Zero(), pg.cov.RBF(0.3, 0.1), pg.lik.Gauss(-1.0))
+    theta, unravel = ravel_pytree(prior)
+
+    def dense(t):
+        m, k, l = unravel(t)
+        return dense_exact.nlml(m, k, l, x, y)
+
+    eng = DistributedExact(grid, block=16, layout="2d")
+
+    def dist(t):
+        m, k, l = unravel(t)
+        return eng.nlml(m, k, l, x, y)
+
+    v0, g0 = jax.value_and_grad(dense)(theta)
+    v1, g1 = jax.jit(jax.value_and_grad(dist))(theta)
+    assert abs(float(v1 - v0)) < 1e-9 * abs(float(v0))
+    assert np.allclose(np.asarray(g1), np.asarray(g0), rtol=1e-8)
+
+
+def test_distributed_exact_2d_predict(grid):
+    """2-D-layout prediction matches the dense posterior predictive."""
+    import pygps_tpu as pg
+    from pygps_tpu.inference import exact as dense_exact
+    from pygps_tpu.parallel.exact import DistributedExact
+
+    rng = np.random.default_rng(22)
+    n = 256
+    x = jnp.asarray(rng.standard_normal((n, 2)))
+    y = jnp.asarray(np.sin(np.asarray(x)[:, 0]))
+    xs = jnp.asarray(rng.standard_normal((7, 2)))
+    mean, kern, lik = pg.mean.Zero(), pg.cov.RBF(0.2, 0.0), pg.lik.Gauss(-1.5)
+
+    eng = DistributedExact(grid, block=16, layout="2d")
+    ym, ys2, fm, fs2 = eng.predict(mean, kern, lik, x, y, xs)
+
+    # direct dense reference
+    K = np.asarray(kern.Ktrain(x)) + np.exp(2 * float(lik.log_sigma)) * np.eye(n)
+    Ks = np.asarray(kern.K(x, xs))
+    al = np.linalg.solve(K, np.asarray(y))
+    fm_ref = Ks.T @ al
+    fs2_ref = np.asarray(kern.Kdiag(xs)) - np.einsum(
+        "ij,ij->j", Ks, np.linalg.solve(K, Ks))
+    assert np.allclose(np.asarray(fm), fm_ref, atol=1e-8)
+    assert np.allclose(np.asarray(fs2), fs2_ref, atol=1e-8)
