@@ -37,6 +37,10 @@ def main():
                     default="highest",
                     help="Cholesky trailing-update precision "
                          "(DistributedExact(precision=...))")
+    ap.add_argument("--chunks", type=int, default=16,
+                    help="pcholesky trailing-update column chunks")
+    ap.add_argument("--chol-only", action="store_true",
+                    help="only Gram + distributed Cholesky (kernel tuning)")
     args = ap.parse_args()
 
     import os
@@ -83,6 +87,8 @@ def main():
                            precision=args.precision)
     upd_dtype = eng.update_dtype
 
+    _LAST = [0.0]
+
     def timed(name, fn, *a, reps=3):
         # scalar device->host fetch as the sync barrier: over the axon
         # tunnel block_until_ready can return before the device finishes
@@ -99,6 +105,7 @@ def main():
             out = fn(*a)
             sync(out)
         dt = (time.perf_counter() - t0) / reps
+        _LAST[0] = dt
         print(json.dumps({"metric": name, "value": round(dt, 4),
                           "unit": "s"}))
         return out
@@ -106,8 +113,15 @@ def main():
     gram_j = jax.jit(lambda: gram_bc(kern, x, mesh, args.block,
                                      noise_diag=jnp.exp(-2.0)))
     K_bc = timed("sharded_gram_s", gram_j)
-    chol_j = jax.jit(lambda K: pcholesky(K, mesh, update_dtype=upd_dtype))
+    chol_j = jax.jit(lambda K: pcholesky(K, mesh, update_dtype=upd_dtype,
+                                         n_col_chunks=args.chunks))
     L = timed("dist_cholesky_s", chol_j, K_bc)
+    if args.chol_only:
+        eff = n**3 / 3.0
+        print(json.dumps({"metric": "effective_tf_per_s",
+                          "value": round(eff / _LAST[0] / 1e12 / p, 1),
+                          "note": "n^3/3 over wall, per device"}))
+        return
     solve_j = jax.jit(lambda L, r: psolve_chol(L, r, mesh))
     timed("dist_solve_s", solve_j, L, y)
 

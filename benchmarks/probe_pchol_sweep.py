@@ -1,0 +1,74 @@
+"""On-chip block/chunk sweep for the distributed Cholesky (p=1, bf16).
+
+One process, one device init; each (block, chunks) config compiles its
+own program (persistent cache makes repeats free).  Reports wall and
+effective TF/s (n³/3 / wall) — the round-3 north-star gate is ≥30 TF/s
+effective at n=32768.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).resolve().parent.parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+import pygps_tpu as pg
+from pygps_tpu.parallel import mesh as pmesh
+from pygps_tpu.parallel.pcholesky import pcholesky
+from pygps_tpu.parallel.ring_gram import gram_bc
+
+
+def run(n, block, chunks, reps=3):
+    mesh = pmesh.make_mesh(1)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((n, 8)), jnp.float32)
+    kern = pg.cov.RBF(jnp.asarray(0.5, jnp.float32),
+                      jnp.asarray(0.0, jnp.float32))
+    gram_j = jax.jit(lambda: gram_bc(kern, x, mesh, block,
+                                     noise_diag=jnp.asarray(float(n),
+                                                            jnp.float32)))
+    K_bc = gram_j()
+    float(K_bc[0, 0, 0, 0])
+    chol_j = jax.jit(lambda K: pcholesky(K, mesh,
+                                         update_dtype=jnp.bfloat16,
+                                         n_col_chunks=chunks))
+    L = chol_j(K_bc)
+    float(L[0, 0, 0, 0])
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        L = chol_j(K_bc)
+        float(L[0, 0, 0, 0])
+        ts.append(time.perf_counter() - t0)
+    dt = statistics.median(ts)
+    print(json.dumps({"n": n, "block": block, "chunks": chunks,
+                      "wall_ms": round(dt * 1e3, 1),
+                      "eff_tf_per_s": round(n**3 / 3 / dt / 1e12, 1)}),
+          flush=True)
+    del K_bc, L
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=16384)
+    ap.add_argument("--configs", type=str,
+                    default="1024:16,1024:4,2048:4,2048:8,4096:4,512:16")
+    args = ap.parse_args()
+    for cfg in args.configs.split(","):
+        b, c = map(int, cfg.split(":"))
+        run(args.n, b, c)

@@ -66,7 +66,20 @@ class DenseOps(NamedTuple):
 
     def diag_Sigma(self, aux):
         sW, L = aux
-        V = solve_tril(L, sW[:, None] * self.K)
+        from pygps_tpu import config
+
+        if config.GEMM_INVERSE:
+            # the n×n TRSM runs at ~7 TF/s on v5e vs ~40+ for GEMMs
+            # (ops/trtri.py header): explicit L⁻¹ (n³/3 GEMM-rate) + one
+            # GEMM (2n³) is ~2.5× faster than solve_tril's n³ TRSM FLOPs
+            # — this is the EP sweep's hot op (every sweep recomputes
+            # the marginal variances)
+            from pygps_tpu.ops.trtri import tril_inverse
+
+            Winv = tril_inverse(L)
+            V = Winv @ (sW[:, None] * self.K)
+        else:
+            V = solve_tril(L, sW[:, None] * self.K)
         return jnp.diag(self.K) - jnp.sum(V * V, axis=0)
 
     # posterior factor for the (alpha, sW, L) contract

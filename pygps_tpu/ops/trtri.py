@@ -100,3 +100,46 @@ def inv_from_chol(L: jax.Array, block: int | None = None) -> jax.Array:
     same_block = (rows[:, None] // b) == (rows[None, :] // b)
     D = jnp.where(same_block, Btri, 0.0)
     return Btri + Btri.T - D
+
+
+def rchol(A: jax.Array, base: int = 512, update_dtype=None) -> jax.Array:
+    """Recursive blocked Cholesky with static shapes: lower L of SPD A.
+
+    Why (v5e measurements, benchmarks/probe_chol_phases2.py): XLA's
+    ``jnp.linalg.cholesky`` runs a b×b factor in ~1.5 ms regardless of b
+    ∈ {512, 1024} — latency-bound, far off MXU rate — while large GEMMs
+    run at 90+ TF/s (bf16).  The recursion moves all O(n³) work into two
+    GEMM families (triangular-inverse panel solve + Schur update) and
+    leaves only n/base sequential base-case factorizations:
+
+        A = [A11 A12; A21 A22],  L11 = rchol(A11),
+        L21 = A21 · L11⁻ᵀ        (tril_inverse: GEMM-rate, no TRSM),
+        L22 = rchol(A22 − L21·L21ᵀ).
+
+    ``update_dtype=jnp.bfloat16`` runs the Schur-update GEMM in bf16 with
+    f32 accumulation (panel solve stays full precision) — the same
+    mixed-precision contract as parallel/pcholesky.py.  Used for the
+    distributed Cholesky's diagonal-block factorizations (where b is now
+    free to grow to 2048–4096) and as a fast local factor.
+    """
+    n = A.shape[-1]
+    if n <= base:
+        return jnp.linalg.cholesky(A)
+    # split at the largest multiple of `base` below n/2 (static)
+    h = max(base, (n // 2) // base * base)
+    A11 = A[:h, :h]
+    A21 = A[h:, :h]
+    A22 = A[h:, h:]
+    L11 = rchol(A11, base, update_dtype)
+    iL11 = tril_inverse(L11)
+    L21 = jnp.matmul(A21, iL11.T, preferred_element_type=A.dtype)
+    if update_dtype is not None:
+        S = A22 - jnp.matmul(L21.astype(update_dtype),
+                             L21.T.astype(update_dtype),
+                             preferred_element_type=A.dtype)
+    else:
+        S = A22 - jnp.matmul(L21, L21.T, preferred_element_type=A.dtype)
+    L22 = rchol(S, base, update_dtype)
+    top = jnp.concatenate([L11, jnp.zeros((h, n - h), A.dtype)], axis=1)
+    bot = jnp.concatenate([L21, L22], axis=1)
+    return jnp.concatenate([top, bot], axis=0)

@@ -38,6 +38,8 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
+from pygps_tpu.ops.trtri import rchol, tril_inverse
+
 
 def _local_gidx(p, m, axis):
     d = lax.axis_index(axis)
@@ -63,6 +65,11 @@ def _pchol_local(A, *, p, m, b, n, axis, n_col_chunks=16,
     nb = m * p
     col_block = jnp.arange(n) // b        # (n,) block index of each column
 
+    # small problems (tests, dryruns): the FLOP savings of fine chunking
+    # are negligible but every chunk adds a cond branch to the traced
+    # panel body — compile time scales with it.  Cap the unroll.
+    if n < 4096:
+        n_col_chunks = min(n_col_chunks, 4)
     # chunk width: multiple of b, dividing n
     cw = max(b, (n // n_col_chunks) // b * b)
     while n % cw != 0:
@@ -78,13 +85,17 @@ def _pchol_local(A, *, p, m, b, n, axis, n_col_chunks=16,
         # 1. diagonal block broadcast
         Ck = lax.dynamic_index_in_dim(C, kloc, axis=0, keepdims=False)
         A_kk = lax.psum(jnp.where(d == owner, Ck, jnp.zeros_like(Ck)), axis)
-        L_kk = jnp.linalg.cholesky(A_kk)
+        # recursive blocked factor + GEMM-blocked triangular inverse:
+        # XLA's cholesky/TRSM are latency-bound (~1.5 ms each at b≤1024
+        # regardless of b, probe_chol_phases2) — rchol/tril_inverse keep
+        # the O(b³) work on the MXU so the panel width can grow to
+        # 2048-4096 (fatter trailing GEMMs, fewer sequential panels)
+        L_kk = rchol(A_kk, base=512)
         # 2. local panel solve X L_kkᵀ = C as ONE GEMM against the explicit
         #    b×b inverse (C reshaped (m·b, b) @ L_kk⁻ᵀ): the m-batched TRSM
         #    runs far below MXU rate on v5e; L_kk is a Cholesky factor of a
         #    jitter-guarded block, so cond(L_kk) ≈ √cond(A_kk) is benign
-        iL_kk = lax.linalg.triangular_solve(
-            L_kk, jnp.eye(b, dtype=A.dtype), left_side=True, lower=True)
+        iL_kk = tril_inverse(L_kk)
         L_pan = (C.reshape(m * b, b) @ iL_kk.T).reshape(m, b, b)
         after = (gidx > k)[:, None, None]
         is_k = (gidx == k)[:, None, None]
@@ -148,18 +159,23 @@ def _pchol_local(A, *, p, m, b, n, axis, n_col_chunks=16,
 
 
 def pcholesky(A_bc: jax.Array, mesh: Mesh, axis: str = "shard",
-              update_dtype=None) -> jax.Array:
+              update_dtype=None, n_col_chunks: int = 16) -> jax.Array:
     """Factor a bc-layout SPD matrix: returns L (bc layout, lower).
 
     ``update_dtype=jnp.bfloat16`` runs the trailing-update GEMMs in bf16
     with f32 accumulation (~4× MXU rate on v5e); panels and diagonal
     factorizations stay full precision.  Accuracy cost is characterized in
     tests/test_parallel.py::test_pcholesky_bf16_updates — use only where
-    downstream tolerances allow (e.g. NLML for MCMC, not tight solves)."""
+    downstream tolerances allow (e.g. NLML for MCMC, not tight solves).
+
+    ``n_col_chunks`` trades trailing-update FLOP savings (column chunks
+    left of the panel skip via lax.cond, n³/(2p) → ~n³/(3p)) against TPU
+    branch overhead — each cond breaks the command queue."""
     p, m, b, n = A_bc.shape
 
     def body(A):
         return _pchol_local(A[0], p=p, m=m, b=b, n=n, axis=axis,
+                            n_col_chunks=n_col_chunks,
                             update_dtype=update_dtype)[None]
 
     f = shard_map(body, mesh=mesh, in_specs=(P(axis),), out_specs=P(axis),

@@ -38,6 +38,10 @@ def pinv_chol(L_bc: jax.Array, mesh: Mesh, axis: str = "shard",
     nb = m * p
     nloc = m * b
 
+    # cap the chunk unroll for small problems (compile time; see
+    # _pchol_local) — the structural-zero skips only pay at scale
+    if n < 4096:
+        n_row_chunks = min(n_row_chunks, 4)
     # chunk height: multiple of b dividing n
     ch = max(b, (n // n_row_chunks) // b * b)
     while n % ch != 0:

@@ -11,7 +11,8 @@ DEMOS = Path(__file__).resolve().parent.parent / "demos"
 
 
 _SLOW_DEMOS = {"demo_GPC", "demo_CV", "demo_Sampling", "demo_Distributed",
-               "demo_GPR_FITC", "demo_GPMC", "demo_SVGP_SMC"}
+               "demo_GPR_FITC", "demo_GPMC", "demo_SVGP_SMC",
+               "demo_GPC_FITC"}
 
 
 @pytest.mark.parametrize("name", [

@@ -1,6 +1,7 @@
 """Iterative (CG/SLQ) exact-GP path vs the Cholesky engine."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -211,6 +212,7 @@ def test_adaptive_slq_uses_more_probes_when_tight():
     assert abs(float(est) - ref) < 2.0            # 4× the stderr target
 
 
+@pytest.mark.slow
 def test_gradient_control_variate_accuracy():
     """The preconditioner control variate in the Hutchinson backward
     keeps dnlZ/dtheta within a few percent of dense autodiff at only 8

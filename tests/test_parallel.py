@@ -224,6 +224,7 @@ def test_distgpr_model(msh):
     assert lp.shape == (9, 1)
 
 
+@pytest.mark.slow
 def test_distributed_exact_bf16_updates(msh):
     """Engine-level mixed precision (DistributedExact(precision="bf16")):
     NLML and hyperparameter gradients stay within the documented budget of
