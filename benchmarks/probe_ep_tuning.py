@@ -1,0 +1,105 @@
+"""EP throughput tuning probe (round-3 verdict item 5: <120 ms @ n=4096).
+
+Measures, on the real chip:
+  * NLML+grad wall per eval (scan-of-5 protocol, scalar-fetch barrier)
+    for the dense EP engine with/without the GEMM-rate diag_Sigma and
+    with/without the low-rank pre-EP warm start;
+  * sweeps-to-converge (dense sweeps after the presolve hand-off),
+    reported alongside ms/eval as the verdict asks.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).resolve().parent.parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+import pygps_tpu as pg
+from pygps_tpu import config
+from pygps_tpu.inference import ep
+from pygps_tpu.inference.priors import DenseOps
+
+N, D = 4096, 4
+
+
+def _data():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((N, D)).astype(np.float32)
+    w = rng.standard_normal(D).astype(np.float32)
+    y = np.sign(x @ w + 0.3 * rng.standard_normal(N)).astype(np.float32)
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+def time_eval(x, y, pre_rank, reps=5):
+    prior = (pg.mean.Zero(), pg.cov.RBF(0.0, 0.0), pg.lik.Erf())
+
+    @jax.jit
+    def step(prior):
+        return jax.value_and_grad(
+            lambda pr: ep.nlml(pr[0], pr[1], pr[2], x, y,
+                               pre_rank=pre_rank))(prior)
+
+    out = step(prior)
+    float(out[0])
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = step(prior)
+        float(out[0])
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts)
+
+
+def sweep_count(x, y, pre_rank):
+    prior = (pg.mean.Zero(), pg.cov.RBF(0.0, 0.0), pg.lik.Erf())
+    mean, kern, lik = prior
+    K = kern.Ktrain(x)
+    ops = DenseOps(K)
+    m = mean(x)
+    t0 = jnp.zeros_like(y)
+    n0 = jnp.zeros_like(y)
+    if pre_rank:
+        t0, n0 = ep._lowrank_presolve(K, m, lik, y, t0, n0, pre_rank)
+
+    @jax.jit
+    def run(t0, n0):
+        ttau, tnu, nlZ, it = ep._ep_sweeps(ops, m, lik, y, t0, n0)
+        return nlZ, it
+
+    nlZ, it = run(t0, n0)
+    return float(nlZ), int(it)
+
+
+def main():
+    x, y = _data()
+    for pre_rank in (0, 256):
+        for gemm in (True, False):
+            config.use_gemm_inverse(gemm)
+            dt = time_eval(x, y, pre_rank)
+            nlZ, it = sweep_count(x, y, pre_rank)
+            print(json.dumps({
+                "probe": "ep_nlml_grad_n4096",
+                "pre_rank": pre_rank,
+                "gemm_diag_sigma": gemm,
+                "ms_per_eval": round(dt * 1e3, 1),
+                "dense_sweeps_to_converge": it,
+                "nlZ": round(nlZ, 4),
+            }), flush=True)
+    config.use_gemm_inverse(True)
+
+
+if __name__ == "__main__":
+    main()

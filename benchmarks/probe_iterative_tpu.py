@@ -74,8 +74,14 @@ def run(n):
     cfgs = [
         ("fixed16 (round-1)", dict(num_probes=16, lanczos_iters=25,
                                    precond_rank=128)),
+        ("adaptive tol=1e-2", dict(num_probes=8, lanczos_iters=30,
+                                   precond_rank=128, tol_nlz=1e-2,
+                                   max_probes=512)),
         ("adaptive tol=3e-3", dict(num_probes=8, lanczos_iters=30,
                                    precond_rank=128, tol_nlz=3e-3,
+                                   max_probes=512)),
+        ("adaptive tol=1e-3", dict(num_probes=8, lanczos_iters=30,
+                                   precond_rank=128, tol_nlz=1e-3,
                                    max_probes=512)),
     ]
     for name, kw in cfgs:

@@ -31,7 +31,7 @@ from pygps_tpu.parallel.pcholesky import pcholesky
 from pygps_tpu.parallel.ring_gram import gram_bc
 
 
-def run(n, block, chunks, reps=3):
+def run(n, block, chunks, reps=3, trailing="xla"):
     mesh = pmesh.make_mesh(1)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((n, 8)), jnp.float32)
@@ -44,7 +44,8 @@ def run(n, block, chunks, reps=3):
     float(K_bc[0, 0, 0, 0])
     chol_j = jax.jit(lambda K: pcholesky(K, mesh,
                                          update_dtype=jnp.bfloat16,
-                                         n_col_chunks=chunks))
+                                         n_col_chunks=chunks,
+                                         trailing=trailing))
     L = chol_j(K_bc)
     float(L[0, 0, 0, 0])
     ts = []
@@ -55,6 +56,7 @@ def run(n, block, chunks, reps=3):
         ts.append(time.perf_counter() - t0)
     dt = statistics.median(ts)
     print(json.dumps({"n": n, "block": block, "chunks": chunks,
+                      "trailing": trailing,
                       "wall_ms": round(dt * 1e3, 1),
                       "eff_tf_per_s": round(n**3 / 3 / dt / 1e12, 1)}),
           flush=True)
@@ -70,5 +72,7 @@ if __name__ == "__main__":
                     default="1024:16,1024:4,2048:4,2048:8,4096:4,512:16")
     args = ap.parse_args()
     for cfg in args.configs.split(","):
-        b, c = map(int, cfg.split(":"))
-        run(args.n, b, c)
+        parts = cfg.split(":")
+        b, c = int(parts[0]), int(parts[1])
+        tr = parts[2] if len(parts) > 2 else "xla"
+        run(args.n, b, c, trailing=tr)

@@ -1,0 +1,121 @@
+"""Pallas masked trailing-update kernel for the distributed Cholesky.
+
+Replaces the chunked ``lax.cond`` + GEMM + ``.at[].add`` trailing update
+in ``parallel/pcholesky.py`` (the round-2 verdict's named lever): one
+kernel call per panel where
+
+  * tile skipping happens PER (row-block, column-tile) on the scalar
+    core — true triangular FLOPs at tile granularity instead of chunk
+    granularity, with zero ``lax.cond`` branches in the XLA graph;
+  * the subtract is fused into the GEMM epilogue — the separate
+    delta-materialize + subtract pass of the XLA path (one extra full
+    read+write of the trailing slab per panel) disappears;
+  * the output aliases the input slab (in-place), so skipped tiles cost
+    neither FLOPs nor HBM traffic.
+
+Shapes (per device, 1-D block-cyclic layout): A (m, b, n) local slab,
+Lrows (m, b, b) panel solve masked to rows > k, Pcols (n, b) gathered
+panel column masked to columns > panel.  Row block i (global index
+d + p·i) needs work iff d + p·i > k; column tile j iff it lies past the
+panel end (alignment tn | b guarantees no straddling).
+
+bf16 operands / f32 accumulation when ``use_bf16`` (the engine's
+``precision="bf16"`` path); f32 otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+_TR = 512                    # row-tile height
+_TK = 512                    # contraction split width
+
+
+def _kernel(p, rb, use_bf16, scal_ref, A_ref, L_ref, P_ref, out_ref):
+    i = pl.program_id(0)      # row tile (rb per local block row)
+    j = pl.program_id(1)
+    kk = scal_ref[0]          # panel (block) index
+    dd = scal_ref[1]          # device index on the shard axis
+    b = L_ref.shape[1]
+    tn = P_ref.shape[1]
+    g = dd + p * (i // rb)    # global block-row index of this tile row
+    need = jnp.logical_and(g > kk, (j + 1) * tn > (kk + 1) * b)
+
+    @pl.when(need)
+    def _():
+        # canonical (1,) × (0,) contraction on plain 2-D sub-tiles:
+        # this Mosaic build rejects bf16 matmuls whose lhs tile exceeds
+        # 2^19 elements (and transposed-rhs dimension numbers), so the
+        # contraction is split into _TK-wide sub-dots with f32
+        # accumulation — numerically identical to one fused dot.
+        tk = min(_TK, b)
+        G = jnp.zeros(out_ref.shape, jnp.float32)
+        for c in range(b // tk):
+            Lc = L_ref[:, c * tk:(c + 1) * tk]
+            Pc = P_ref[c * tk:(c + 1) * tk, :]
+            if use_bf16:
+                # explicit DEFAULT precision: the package pins
+                # jax_default_matmul_precision="highest" globally, and
+                # Mosaic rejects fp32-contract-precision on bf16
+                # operands ("Bad lhs type")
+                G = G + jnp.dot(Lc.astype(jnp.bfloat16),
+                                Pc.astype(jnp.bfloat16),
+                                precision=jax.lax.Precision.DEFAULT,
+                                preferred_element_type=jnp.float32)
+            else:
+                G = G + jnp.dot(Lc, Pc,
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32)
+        out_ref[...] = A_ref[...] - G.astype(out_ref.dtype)
+
+
+def trailing_update(A: jax.Array, Lrows: jax.Array, Pcols: jax.Array,
+                    k: jax.Array, d: jax.Array, p: int,
+                    tn: int = 512, use_bf16: bool = False,
+                    interpret: bool = False) -> jax.Array:
+    """A[i, :, cols > panel] -= Lrows[i] @ Pcolsᵀ for rows with global
+    block index > k; returns the updated slab (aliases A's buffer).
+
+    ``Pcols`` is (n, b); it is transposed ONCE here (n·b copy, amortized
+    over the (m·b × n) update) so the in-kernel contraction is canonical
+    — Mosaic rejects transposed-rhs bf16 matmuls.
+
+    ``k``/``d`` are traced scalars (panel index, device index); ``p``
+    the static shard count; ``tn`` the column tile width (must divide
+    both n and b)."""
+    m, b, n = A.shape
+    try:
+        interpret = interpret or jax.devices()[0].platform != "tpu"
+    except Exception:  # pragma: no cover
+        interpret = True
+    tr = min(_TR, b)
+    assert n % tn == 0 and b % tn == 0 and b % tr == 0, (n, b, tn)
+    rb = b // tr                              # row tiles per block row
+    scal = jnp.stack([k.astype(jnp.int32), d.astype(jnp.int32)])
+    Pt = Pcols.T                              # (b, n)
+    A2 = A.reshape(m * b, n)                  # free reshape (row-major)
+    L2 = Lrows.reshape(m * b, b)
+    grid = (m * rb, n // tn)
+    out = pl.pallas_call(
+        functools.partial(_kernel, p, rb, use_bf16),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tr, tn), lambda i, j, s: (i, j)),
+                pl.BlockSpec((tr, b), lambda i, j, s: (i, 0)),
+                pl.BlockSpec((b, tn), lambda i, j, s: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((tr, tn), lambda i, j, s: (i, j)),
+        ),
+        out_shape=jax.ShapeDtypeStruct(A2.shape, A2.dtype),
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(scal, A2, L2, Pt)
+    return out.reshape(m, b, n)

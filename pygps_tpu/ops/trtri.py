@@ -29,7 +29,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-_BLOCKS = (512, 256, 128, 64)
+#: Largest-first: on v5e every XLA cholesky/TRSM call costs ~1.5 ms
+#: regardless of size ≤1024 (latency-bound, probe_chol_phases2), so
+#: fewer, bigger base cases win as long as the GEMM fraction stays high.
+_BLOCKS = (1024, 512, 256, 128, 64)
 
 
 def _pick_block(n: int) -> int | None:
@@ -102,7 +105,8 @@ def inv_from_chol(L: jax.Array, block: int | None = None) -> jax.Array:
     return Btri + Btri.T - D
 
 
-def rchol(A: jax.Array, base: int = 512, update_dtype=None) -> jax.Array:
+def rchol(A: jax.Array, base: int = 1024, update_dtype=None,
+          precision=None) -> jax.Array:
     """Recursive blocked Cholesky with static shapes: lower L of SPD A.
 
     Why (v5e measurements, benchmarks/probe_chol_phases2.py): XLA's
@@ -130,16 +134,18 @@ def rchol(A: jax.Array, base: int = 512, update_dtype=None) -> jax.Array:
     A11 = A[:h, :h]
     A21 = A[h:, :h]
     A22 = A[h:, h:]
-    L11 = rchol(A11, base, update_dtype)
+    L11 = rchol(A11, base, update_dtype, precision)
     iL11 = tril_inverse(L11)
-    L21 = jnp.matmul(A21, iL11.T, preferred_element_type=A.dtype)
+    L21 = jnp.matmul(A21, iL11.T, precision=precision,
+                     preferred_element_type=A.dtype)
     if update_dtype is not None:
         S = A22 - jnp.matmul(L21.astype(update_dtype),
                              L21.T.astype(update_dtype),
                              preferred_element_type=A.dtype)
     else:
-        S = A22 - jnp.matmul(L21, L21.T, preferred_element_type=A.dtype)
-    L22 = rchol(S, base, update_dtype)
+        S = A22 - jnp.matmul(L21, L21.T, precision=precision,
+                             preferred_element_type=A.dtype)
+    L22 = rchol(S, base, update_dtype, precision)
     top = jnp.concatenate([L11, jnp.zeros((h, n - h), A.dtype)], axis=1)
     bot = jnp.concatenate([L21, L22], axis=1)
     return jnp.concatenate([top, bot], axis=0)

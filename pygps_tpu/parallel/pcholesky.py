@@ -52,7 +52,7 @@ def _local_gidx(p, m, axis):
 
 
 def _pchol_local(A, *, p, m, b, n, axis, n_col_chunks=16,
-                 update_dtype=None):
+                 update_dtype=None, trailing="xla"):
     """Kernel body: A is the local (m, b, n) slab; returns local L slab.
 
     The trailing update is split into ``n_col_chunks`` static column
@@ -89,14 +89,20 @@ def _pchol_local(A, *, p, m, b, n, axis, n_col_chunks=16,
         # XLA's cholesky/TRSM are latency-bound (~1.5 ms each at b≤1024
         # regardless of b, probe_chol_phases2) — rchol/tril_inverse keep
         # the O(b³) work on the MXU so the panel width can grow to
-        # 2048-4096 (fatter trailing GEMMs, fewer sequential panels)
-        L_kk = rchol(A_kk, base=512)
+        # 2048-4096 (fatter trailing GEMMs, fewer sequential panels).
+        # In bf16 mode the panel GEMMs drop from HIGHEST (bf16_6x) to
+        # DEFAULT (bf16_3x, ~2× MXU rate, ~2⁻²¹ contraction error) —
+        # far tighter than the bf16 trailing updates this mode accepts.
+        pan_prec = (lax.Precision.DEFAULT if update_dtype is not None
+                    else lax.Precision.HIGHEST)
+        L_kk = rchol(A_kk, base=1024, precision=pan_prec)
         # 2. local panel solve X L_kkᵀ = C as ONE GEMM against the explicit
         #    b×b inverse (C reshaped (m·b, b) @ L_kk⁻ᵀ): the m-batched TRSM
         #    runs far below MXU rate on v5e; L_kk is a Cholesky factor of a
         #    jitter-guarded block, so cond(L_kk) ≈ √cond(A_kk) is benign
         iL_kk = tril_inverse(L_kk)
-        L_pan = (C.reshape(m * b, b) @ iL_kk.T).reshape(m, b, b)
+        L_pan = jnp.matmul(C.reshape(m * b, b), iL_kk.T,
+                           precision=pan_prec).reshape(m, b, b)
         after = (gidx > k)[:, None, None]
         is_k = (gidx == k)[:, None, None]
         P_loc = jnp.where(after, L_pan, 0.0) + jnp.where(is_k, L_kk, 0.0)
@@ -116,6 +122,15 @@ def _pchol_local(A, *, p, m, b, n, axis, n_col_chunks=16,
         #    (measured: a concatenate-then-subtract variant was ~20% slower
         #    at n=16384 on v5e).
         L_rows = jnp.where(after, L_pan, 0.0)          # (m, b, b)
+        if trailing == "pallas":
+            # fused mask+GEMM+subtract with per-tile skip decisions on
+            # the scalar core (ops/trailing_pallas.py): no lax.cond
+            # branches, no delta materialization, in-place output
+            from pygps_tpu.ops.trailing_pallas import trailing_update
+
+            return trailing_update(
+                A, L_rows, P_cols, k, d, p,
+                tn=min(512, b), use_bf16=update_dtype is not None)
         Lr = L_rows
         if update_dtype is not None:
             # mixed precision: low-precision operands, full-precision
@@ -159,7 +174,8 @@ def _pchol_local(A, *, p, m, b, n, axis, n_col_chunks=16,
 
 
 def pcholesky(A_bc: jax.Array, mesh: Mesh, axis: str = "shard",
-              update_dtype=None, n_col_chunks: int = 16) -> jax.Array:
+              update_dtype=None, n_col_chunks: int = 16,
+              trailing: str = "xla") -> jax.Array:
     """Factor a bc-layout SPD matrix: returns L (bc layout, lower).
 
     ``update_dtype=jnp.bfloat16`` runs the trailing-update GEMMs in bf16
@@ -170,13 +186,19 @@ def pcholesky(A_bc: jax.Array, mesh: Mesh, axis: str = "shard",
 
     ``n_col_chunks`` trades trailing-update FLOP savings (column chunks
     left of the panel skip via lax.cond, n³/(2p) → ~n³/(3p)) against TPU
-    branch overhead — each cond breaks the command queue."""
+    branch overhead — each cond breaks the command queue.
+
+    ``trailing="pallas"`` routes the trailing update through the fused
+    masked Pallas kernel (ops/trailing_pallas.py) — per-tile skips, no
+    cond branches, subtract fused into the GEMM epilogue.  TPU only
+    (b and n must be multiples of 512)."""
     p, m, b, n = A_bc.shape
 
     def body(A):
         return _pchol_local(A[0], p=p, m=m, b=b, n=n, axis=axis,
                             n_col_chunks=n_col_chunks,
-                            update_dtype=update_dtype)[None]
+                            update_dtype=update_dtype,
+                            trailing=trailing)[None]
 
     f = shard_map(body, mesh=mesh, in_specs=(P(axis),), out_specs=P(axis),
                   check_vma=False)

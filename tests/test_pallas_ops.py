@@ -155,3 +155,65 @@ def test_cross_fused_dispatch_and_fallback():
     out2 = np.asarray(gp.cross_fused(k2, X[:, :1], Z[:, :1]))
     assert np.allclose(out2, np.asarray(k2._cross(X[:, :1], Z[:, :1])),
                        atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Round 3: masked trailing-update kernel (ops/trailing_pallas.py)
+# ---------------------------------------------------------------------------
+
+
+def test_trailing_update_matches_reference():
+    """Fused mask+GEMM+subtract kernel vs the explicit update, over every
+    (panel, device) combination of a small block-cyclic layout."""
+    from pygps_tpu.ops.trailing_pallas import trailing_update
+
+    rng = np.random.default_rng(0)
+    p, m, b, n = 2, 4, 8, 64
+    A = jnp.asarray(rng.standard_normal((m, b, n)), jnp.float32)
+    L = jnp.asarray(rng.standard_normal((m, b, b)), jnp.float32)
+    P = jnp.asarray(rng.standard_normal((n, b)), jnp.float32)
+    for k in (0, 3, 6):
+        for d in (0, 1):
+            gidx = d + p * np.arange(m)
+            Lm = jnp.where(jnp.asarray(gidx > k)[:, None, None], L, 0.0)
+            Pm = jnp.where(jnp.asarray(np.arange(n) // b > k)[:, None],
+                           P, 0.0)
+            out = trailing_update(A, Lm, Pm, jnp.asarray(k),
+                                  jnp.asarray(d), p, tn=8, interpret=True)
+            ref = np.asarray(A).copy()
+            for i in range(m):
+                if gidx[i] > k:
+                    ref[i] -= np.asarray(Lm)[i] @ np.asarray(Pm).T
+            assert np.abs(np.asarray(out) - ref).max() < 1e-5
+
+
+def test_pcholesky_pallas_trailing_matches_xla(tmp_path):
+    """pcholesky(trailing="pallas") (interpret mode off-TPU) equals the
+    default XLA trailing path."""
+    from pygps_tpu.parallel import mesh as pmesh
+    from pygps_tpu.parallel.pcholesky import pcholesky
+
+    if len(jax.devices()) < 2:
+        import pytest
+        pytest.skip("needs multi-device mesh")
+    rng = np.random.default_rng(1)
+    n, b, p = 64, 8, 2
+    W = rng.standard_normal((n, 24))
+    A = jnp.asarray((W @ W.T + n * np.eye(n)), jnp.float32)
+    mesh = pmesh.make_mesh(p)
+    Abc = pmesh.shard_bc(pmesh.to_block_cyclic(A, b, p), mesh)
+    L1 = pcholesky(Abc, mesh)
+    L2 = pcholesky(Abc, mesh, trailing="pallas")
+    assert np.allclose(np.asarray(L1), np.asarray(L2), atol=1e-5)
+
+
+def test_rchol_matches_dense():
+    from pygps_tpu.ops.trtri import rchol
+
+    rng = np.random.default_rng(2)
+    for n, base in ((96, 32), (256, 64)):
+        W = rng.standard_normal((n, n))
+        A = jnp.asarray(W @ W.T + n * np.eye(n))
+        L = rchol(A, base=base)
+        assert np.allclose(np.asarray(L), np.linalg.cholesky(np.asarray(A)),
+                           atol=1e-10 * n)
