@@ -125,6 +125,14 @@ def main():
     solve_j = jax.jit(lambda L, r: psolve_chol(L, r, mesh))
     timed("dist_solve_s", solve_j, L, y)
 
+    # free the standalone-phase buffers (K_bc + L = n²/2 bytes) before
+    # the end-to-end NLML+grad — at n=32768 they are 8 GiB of dead
+    # weight against the 15.75 GiB HBM plan
+    del K_bc, L
+    import gc
+
+    gc.collect()
+
     vgrad = jax.jit(jax.value_and_grad(
         lambda k: eng.nlml(mean, k, lik, x, y)))
     timed("nlml_grad_s", vgrad, kern, reps=2)

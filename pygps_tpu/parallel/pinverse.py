@@ -18,6 +18,17 @@ import jax.numpy as jnp
 from jax import lax, shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
+from pygps_tpu.ops.trtri import tril_inverse
+
+
+def _prec(update_dtype):
+    """Panel-GEMM precision policy: HIGHEST in full-precision mode;
+    DEFAULT (bf16_3x, ~2⁻²¹ contraction error) in bf16 mode — consistent
+    with the pcholesky panel-solve policy and far tighter than the bf16
+    coupling GEMMs that mode already accepts."""
+    return (lax.Precision.DEFAULT if update_dtype is not None
+            else lax.Precision.HIGHEST)
+
 
 def pinv_chol(L_bc: jax.Array, mesh: Mesh, axis: str = "shard",
               n_row_chunks: int = 8, update_dtype=None) -> jax.Array:
@@ -52,10 +63,11 @@ def pinv_chol(L_bc: jax.Array, mesh: Mesh, axis: str = "shard",
         L = L[0]
         d = lax.axis_index(axis)
         gidx = d + p * jnp.arange(m)           # my block indices
-        # my columns' global positions, as an (nloc,) index map block-wise
-        # identity RHS for my columns: I[:, mycols] — rows r where r == col
+        # my columns' global positions, as an (nloc,) index map block-wise.
+        # The identity RHS I[:, mycols] is NOT materialized (an n×n/p
+        # one-hot buffer — 4 GiB at n=32768 p=1, part of the round-2
+        # memory wall); each panel builds its own (b, n/p) row slice.
         mycols = (gidx[:, None] * b + jnp.arange(b)[None, :]).reshape(nloc)
-        I_cols = (jnp.arange(n)[:, None] == mycols[None, :]).astype(L.dtype)
 
         # ---- forward: Z = L⁻¹ I_cols  (Z: (n, nloc), all rows local) ----
         def fwd(k, Z):
@@ -85,9 +97,16 @@ def pinv_chol(L_bc: jax.Array, mesh: Mesh, axis: str = "shard",
                     lambda ops: jnp.zeros((b, nloc), L.dtype),
                     (row[:, start:start + ch], Z[start:start + ch]))
             L_kk = lax.dynamic_slice(row, (cs * 0, cs), (b, b))
-            I_k = lax.dynamic_slice(I_cols, (cs, cs * 0), (b, nloc))
-            Z_k = lax.linalg.triangular_solve(
-                L_kk, I_k - S, left_side=True, lower=True)
+            I_k = ((cs + jnp.arange(b))[:, None] ==
+                   mycols[None, :]).astype(L.dtype)
+            # explicit b×b inverse + GEMM instead of a b×(n/p)-RHS TRSM:
+            # XLA lowers the big-RHS triangular solve as a 128-panel while
+            # loop whose growing (k·128, n/p) temps blew the HBM plan at
+            # n=32768 b=4096 (20.7 GiB); the GEMM form has one (b, n/p)
+            # temp and runs at MXU rate
+            iL = tril_inverse(L_kk)
+            Z_k = jnp.matmul(iL, I_k - S, precision=_prec(update_dtype),
+                             preferred_element_type=L.dtype)
             return lax.dynamic_update_slice(Z, Z_k, (cs, cs * 0))
 
         Z = lax.fori_loop(0, nb, fwd, jnp.zeros((n, nloc), L.dtype))
@@ -131,8 +150,9 @@ def pinv_chol(L_bc: jax.Array, mesh: Mesh, axis: str = "shard",
                     lambda ops: jnp.zeros((b, nloc), L.dtype),
                     (col_strict[start:start + ch], ZX[start:start + ch]))
             Z_k = lax.dynamic_slice(ZX, (cs, cs * 0), (b, nloc))
-            X_k = lax.linalg.triangular_solve(
-                L_kk, Z_k - S, left_side=True, lower=True, transpose_a=True)
+            iL = tril_inverse(L_kk)
+            X_k = jnp.matmul(iL.T, Z_k - S, precision=_prec(update_dtype),
+                             preferred_element_type=L.dtype)
             return lax.dynamic_update_slice(ZX, X_k, (cs, cs * 0))
 
         X = lax.fori_loop(0, nb, bwd, Z)
