@@ -113,7 +113,13 @@ def _peak_matmul_tf(reps=15, mm_inner=10, m=4096):
     @jax.jit
     def mm(a):
         def step(acc, _):
-            return (acc @ acc) * jnp.float32(1.0), None
+            # explicit HIGHEST: the package pins this globally, but the
+            # calibration must not depend on import order (a DEFAULT-
+            # precision run measures the bf16_3x rate, ~40 TF/s, and
+            # silently deflates sol_pct by 2.4×)
+            acc = jnp.matmul(acc, acc,
+                             precision=jax.lax.Precision.HIGHEST)
+            return acc * jnp.float32(1.0), None
         out, _ = jax.lax.scan(step, a, None, length=mm_inner)
         return out[0, 0]
 
