@@ -85,9 +85,9 @@ def sweep_count(x, y, pre_rank):
 
 def main():
     x, y = _data()
-    for pre_rank in (0, 256):
-        for gemm in (True, False):
-            config.use_gemm_inverse(gemm)
+    for pre_rank, gemm in ((0, False), (256, False), (512, False),
+                           (256, True)):
+            config.EP_GEMM_DIAG_SIGMA = gemm
             dt = time_eval(x, y, pre_rank)
             nlZ, it = sweep_count(x, y, pre_rank)
             print(json.dumps({
@@ -98,7 +98,7 @@ def main():
                 "dense_sweeps_to_converge": it,
                 "nlZ": round(nlZ, 4),
             }), flush=True)
-    config.use_gemm_inverse(True)
+    config.EP_GEMM_DIAG_SIGMA = False
 
 
 if __name__ == "__main__":

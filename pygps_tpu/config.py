@@ -33,6 +33,14 @@ FITC_JITTER_REL = 1e-6
 #: rel err ~1e-6) and the end-to-end NLML+grad drops 144 → 105 ms (1.37×).
 GEMM_INVERSE = True
 
+#: EP-sweep marginal variances (DenseOps.diag_Sigma) via explicit L⁻¹ +
+#: DEFAULT-precision GEMM instead of the n×n TRSM.  Off by default:
+#: measured at n=4096 on v5e the HIGHEST-precision GEMM form was SLOWER
+#: than the TRSM (probe_ep_tuning.py round 3); the DEFAULT-precision
+#: form trades ~2⁻²¹ contraction error (inside EP's 1e-4 tolerance) for
+#: the MXU rate — enable for throughput-bound EP at large n.
+EP_GEMM_DIAG_SIGMA = False
+
 
 def use_gemm_inverse(enable: bool = True) -> None:
     """Route the exact-engine analytic backward through the blocked

@@ -68,16 +68,18 @@ class DenseOps(NamedTuple):
         sW, L = aux
         from pygps_tpu import config
 
-        if config.GEMM_INVERSE:
-            # the n×n TRSM runs at ~7 TF/s on v5e vs ~40+ for GEMMs
-            # (ops/trtri.py header): explicit L⁻¹ (n³/3 GEMM-rate) + one
-            # GEMM (2n³) is ~2.5× faster than solve_tril's n³ TRSM FLOPs
-            # — this is the EP sweep's hot op (every sweep recomputes
-            # the marginal variances)
+        if config.EP_GEMM_DIAG_SIGMA:
+            # explicit L⁻¹ + GEMM instead of the n×n TRSM.  Measured on
+            # v5e at n=4096 (probe_ep_tuning): under HIGHEST precision
+            # the 2n³ GEMM is NOT faster than the n³ TRSM (f32-HIGHEST
+            # GEMM rate ~20 TF/s vs TRSM ~7), so this path runs the GEMM
+            # at DEFAULT precision (bf16_3x, ~2⁻²¹ error — well inside
+            # EP's 1e-4 convergence tolerance) where it wins.
             from pygps_tpu.ops.trtri import tril_inverse
 
             Winv = tril_inverse(L)
-            V = Winv @ (sW[:, None] * self.K)
+            V = jnp.matmul(Winv, sW[:, None] * self.K,
+                           precision=jax.lax.Precision.DEFAULT)
         else:
             V = solve_tril(L, sW[:, None] * self.K)
         return jnp.diag(self.K) - jnp.sum(V * V, axis=0)

@@ -68,6 +68,7 @@ def test_dist_iterative_gradients_close():
     assert np.allclose(g_it, g_ref, rtol=0.15, atol=0.3)
 
 
+@pytest.mark.slow
 def test_model_iterative_engine_end_to_end():
     """GPR.useInference('Iterative'): posterior/predict/optimize parity."""
     rng = np.random.default_rng(0)
