@@ -80,6 +80,7 @@ def main():
 
     engines = {
         "highest": DistributedExact(mesh, block=512, precision="highest"),
+        "high": DistributedExact(mesh, block=512, precision="high"),
         "bf16": DistributedExact(mesh, block=512, precision="bf16"),
     }
     ref_eng = engines["highest"]
@@ -106,18 +107,19 @@ def main():
             "test_rmse": round(rmse, 5), "test_nlpd": round(nlpd, 5),
         }), flush=True)
 
-    dth = np.abs(np.asarray(results["bf16"]["theta"])
-                 - np.asarray(results["highest"]["theta"]))
-    print(json.dumps({
-        "probe": "bf16_traj_delta",
-        "max_abs_hyp_delta": round(float(dth.max()), 6),
-        "nlz_delta": round(results["bf16"]["nlz_final_ref"]
-                           - results["highest"]["nlz_final_ref"], 4),
-        "rmse_delta": round(results["bf16"]["rmse"]
-                            - results["highest"]["rmse"], 6),
-        "nlpd_delta": round(results["bf16"]["nlpd"]
-                            - results["highest"]["nlpd"], 6),
-    }), flush=True)
+    for nm in ("high", "bf16"):
+        dth = np.abs(np.asarray(results[nm]["theta"])
+                     - np.asarray(results["highest"]["theta"]))
+        print(json.dumps({
+            "probe": f"{nm}_traj_delta",
+            "max_abs_hyp_delta": round(float(dth.max()), 6),
+            "nlz_delta": round(results[nm]["nlz_final_ref"]
+                               - results["highest"]["nlz_final_ref"], 4),
+            "rmse_delta": round(results[nm]["rmse"]
+                                - results["highest"]["rmse"], 6),
+            "nlpd_delta": round(results[nm]["nlpd"]
+                                - results["highest"]["nlpd"], 6),
+        }), flush=True)
 
     # --- short NUTS chain set over the hyperparameters (n=2048 subset,
     # 2 chains) under each precision; compare posterior hyp means ---
@@ -145,10 +147,11 @@ def main():
             "wall_s": round(wall, 1),
             "posterior_hyp_means": [round(float(v), 5) for v in pm],
         }), flush=True)
-    d = np.abs(post_means["bf16"] - post_means["highest"])
-    print(json.dumps({"probe": "bf16_traj_nuts_delta",
-                      "max_abs_posterior_mean_delta":
-                          round(float(d.max()), 6)}), flush=True)
+    for nm in ("high", "bf16"):
+        d = np.abs(post_means[nm] - post_means["highest"])
+        print(json.dumps({"probe": f"{nm}_traj_nuts_delta",
+                          "max_abs_posterior_mean_delta":
+                              round(float(d.max()), 6)}), flush=True)
 
 
 if __name__ == "__main__":

@@ -83,6 +83,9 @@ def run(n):
         ("adaptive tol=1e-3", dict(num_probes=8, lanczos_iters=30,
                                    precond_rank=128, tol_nlz=1e-3,
                                    max_probes=512)),
+        ("deep lanczos64 pc256 tol=3e-3",
+         dict(num_probes=8, lanczos_iters=64, precond_rank=256,
+              tol_nlz=3e-3, max_probes=512)),
     ]
     for name, kw in cfgs:
         f = jax.jit(lambda x_, y_, kw=kw: iterative.nlml(

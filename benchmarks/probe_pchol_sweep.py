@@ -31,19 +31,26 @@ from pygps_tpu.parallel.pcholesky import pcholesky
 from pygps_tpu.parallel.ring_gram import gram_bc
 
 
-def run(n, block, chunks, reps=3, trailing="xla"):
+def run(n, block, chunks, reps=3, trailing="xla", mode="bf16",
+        noise=None):
     mesh = pmesh.make_mesh(1)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((n, 8)), jnp.float32)
     kern = pg.cov.RBF(jnp.asarray(0.5, jnp.float32),
                       jnp.asarray(0.0, jnp.float32))
+    noise = float(n) if noise is None else noise
     gram_j = jax.jit(lambda: gram_bc(kern, x, mesh, block,
-                                     noise_diag=jnp.asarray(float(n),
+                                     noise_diag=jnp.asarray(noise,
                                                             jnp.float32)))
     K_bc = gram_j()
     float(K_bc[0, 0, 0, 0])
+    import jax.lax as _lax
+
+    upd = jnp.bfloat16 if mode == "bf16" else None
+    gp = _lax.Precision.HIGH if mode == "high" else None
     chol_j = jax.jit(lambda K: pcholesky(K, mesh,
-                                         update_dtype=jnp.bfloat16,
+                                         update_dtype=upd,
+                                         gemm_precision=gp,
                                          n_col_chunks=chunks,
                                          trailing=trailing))
     L = chol_j(K_bc)
@@ -55,10 +62,13 @@ def run(n, block, chunks, reps=3, trailing="xla"):
         float(L[0, 0, 0, 0])
         ts.append(time.perf_counter() - t0)
     dt = statistics.median(ts)
+    finite = bool(jax.jit(lambda L: jnp.isfinite(L).all())(L))
     print(json.dumps({"n": n, "block": block, "chunks": chunks,
-                      "trailing": trailing,
+                      "trailing": trailing, "mode": mode,
+                      "noise": noise,
                       "wall_ms": round(dt * 1e3, 1),
-                      "eff_tf_per_s": round(n**3 / 3 / dt / 1e12, 1)}),
+                      "eff_tf_per_s": round(n**3 / 3 / dt / 1e12, 1),
+                      "finite": finite}),
           flush=True)
     del K_bc, L
 
@@ -70,9 +80,14 @@ if __name__ == "__main__":
     ap.add_argument("--n", type=int, default=16384)
     ap.add_argument("--configs", type=str,
                     default="1024:16,1024:4,2048:4,2048:8,4096:4,512:16")
+    ap.add_argument("--mode", choices=["bf16", "high", "highest"],
+                    default="bf16")
+    ap.add_argument("--noise", type=float, default=None,
+                    help="diagonal noise (default: n, well-conditioned; "
+                         "use e.g. 0.135 for the realistic GP regime)")
     args = ap.parse_args()
     for cfg in args.configs.split(","):
         parts = cfg.split(":")
         b, c = int(parts[0]), int(parts[1])
         tr = parts[2] if len(parts) > 2 else "xla"
-        run(args.n, b, c, trailing=tr)
+        run(args.n, b, c, trailing=tr, mode=args.mode, noise=args.noise)

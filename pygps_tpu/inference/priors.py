@@ -73,13 +73,14 @@ class DenseOps(NamedTuple):
             # v5e at n=4096 (probe_ep_tuning): under HIGHEST precision
             # the 2n³ GEMM is NOT faster than the n³ TRSM (f32-HIGHEST
             # GEMM rate ~20 TF/s vs TRSM ~7), so this path runs the GEMM
-            # at DEFAULT precision (bf16_3x, ~2⁻²¹ error — well inside
-            # EP's 1e-4 convergence tolerance) where it wins.
+            # at HIGH precision (bf16_3x, ~2⁻²¹ error — well inside
+            # EP's 1e-4 convergence tolerance; DEFAULT on v5e is a
+            # single bf16 pass, too lossy) where it wins.
             from pygps_tpu.ops.trtri import tril_inverse
 
             Winv = tril_inverse(L)
             V = jnp.matmul(Winv, sW[:, None] * self.K,
-                           precision=jax.lax.Precision.DEFAULT)
+                           precision=jax.lax.Precision.HIGH)
         else:
             V = solve_tril(L, sW[:, None] * self.K)
         return jnp.diag(self.K) - jnp.sum(V * V, axis=0)

@@ -33,7 +33,8 @@ from pygps_tpu.parallel.pinverse import pinv_chol
 from pygps_tpu.parallel.ring_gram import gram_bc
 
 
-def _factor_solve(K_bc, r, sn2, mesh_, axis, update_dtype=None):
+def _factor_solve(K_bc, r, sn2, mesh_, axis, update_dtype=None,
+                  gemm_precision=None):
     """L of K̃/sn2 + ... — factor B = (K + sn2 I) directly in bc layout."""
     p, m, b, n = K_bc.shape
 
@@ -49,14 +50,15 @@ def _factor_solve(K_bc, r, sn2, mesh_, axis, update_dtype=None):
     addI = shard_map(add_diag, mesh=mesh_, in_specs=(P(axis),),
                      out_specs=P(axis), check_vma=False)
     B_bc = addI(K_bc)
-    L = pcholesky(B_bc, mesh_, axis, update_dtype=update_dtype)
+    L = pcholesky(B_bc, mesh_, axis, update_dtype=update_dtype,
+                  gemm_precision=gemm_precision)
     alpha = psolve_chol(L, r, mesh_, axis)
     logdet = plogdet_chol(L, mesh_, axis)
     return L, alpha, logdet
 
 
 def make_dist_nlml_core(mesh_: Mesh, axis: str = "shard",
-                        update_dtype=None):
+                        update_dtype=None, gemm_precision=None):
     """Returns nlml_core(K_bc, m, sn2, y) -> nlZ with analytic VJP.
 
     ``update_dtype=jnp.bfloat16`` runs the Cholesky trailing-update GEMMs
@@ -71,7 +73,7 @@ def make_dist_nlml_core(mesh_: Mesh, axis: str = "shard",
         n = y.shape[0]
         r = y - mvec
         L, alpha, logdet = _factor_solve(K_bc, r, sn2, mesh_, axis,
-                                         update_dtype)
+                                         update_dtype, gemm_precision)
         return (0.5 * jnp.dot(r, alpha) + 0.5 * logdet
                 + 0.5 * n * jnp.log(2.0 * jnp.pi))
 
@@ -79,7 +81,7 @@ def make_dist_nlml_core(mesh_: Mesh, axis: str = "shard",
         n = y.shape[0]
         r = y - mvec
         L, alpha, logdet = _factor_solve(K_bc, r, sn2, mesh_, axis,
-                                         update_dtype)
+                                         update_dtype, gemm_precision)
         nlZ = (0.5 * jnp.dot(r, alpha) + 0.5 * logdet
                + 0.5 * n * jnp.log(2.0 * jnp.pi))
         return nlZ, (L, alpha, sn2)
@@ -88,7 +90,8 @@ def make_dist_nlml_core(mesh_: Mesh, axis: str = "shard",
         L, alpha, sn2 = res
         p, m, b, n = L.shape
         Kinv_bc = pinv_chol(L, mesh_, axis,
-                            update_dtype=update_dtype)  # (p,m,b,n) of K̃⁻¹
+                            update_dtype=update_dtype,
+                            gemm_precision=gemm_precision)  # K̃⁻¹ (p,m,b,n)
 
         def q_local(Ki, al):
             Ki = Ki[0]
@@ -120,13 +123,22 @@ class DistributedExact:
     Inputs must currently be pre-padded to a (block·p) multiple by the
     caller (models pad transparently via utils; see bench.py).
 
-    ``precision``: "highest" (default, true-f32 trailing updates) or
-    "bf16" — Cholesky trailing-update GEMMs AND the backward inverse's
-    2n³/p coupling GEMMs run in bf16 with f32 accumulation (~2× MXU rate
-    on v5e); panels, diagonal factorizations, and triangular solves stay
-    f32.  Use where downstream tolerances allow (NLML for sampling /
-    optimization steps — not tight posterior solves); error budget in
-    tests/test_parallel.py::test_distributed_exact_bf16_updates.
+    ``precision``: "highest" (default — bf16_6x f32 GEMMs everywhere),
+    "high", or "bf16".
+
+    * "high" (RECOMMENDED for large n): all O(n³) GEMMs — trailing
+      updates, panel solves, backward-inverse coupling — run at
+      ``Precision.HIGH`` (bf16_3x on f32 operands, contraction error
+      ~2⁻²¹): ~2× the HIGHEST MXU rate with near-f32 accuracy, and
+      PSD-safe at any n of practical interest (λ_min perturbation
+      ~2⁻²¹·√n·‖K‖ ≈ 1e-4 at n=100k).
+    * "bf16" — operands CAST to bf16 (1-pass, fastest) with f32
+      accumulation.  **Unsafe for ill-conditioned kernels at scale**:
+      the factor's λ_min perturbation grows as ~2⁻⁹·√n·‖K‖, which
+      crosses a noise floor sn²=0.14·‖K‖ near n≈2k and produces NaN
+      factors (measured, round-3 bf16 trajectory study — on CPU too,
+      so it is arithmetic, not a TPU bug).  Use only when
+      sn² ≳ 2⁻⁹·√n·‖K‖ (large-noise / well-conditioned problems).
 
     ``layout``: "1d" (default — block-cyclic row layout, constant
     per-device panel traffic) or "2d" — the (pr × pc) process grid
@@ -140,13 +152,15 @@ class DistributedExact:
     def __init__(self, mesh_: Mesh | None = None, block: int = 256,
                  axis: str = "shard", precision: str = "highest",
                  layout: str = "1d"):
-        if precision not in ("highest", "bf16"):
+        if precision not in ("highest", "high", "bf16"):
             raise ValueError(f"unknown precision {precision!r}")
         if layout not in ("1d", "2d"):
             raise ValueError(f"unknown layout {layout!r}")
         self.block = block
         self.layout = layout
         self.update_dtype = jnp.bfloat16 if precision == "bf16" else None
+        self.gemm_precision = (lax.Precision.HIGH if precision == "high"
+                               else None)
         if layout == "2d":
             from pygps_tpu.parallel import exact2d
 
@@ -166,8 +180,9 @@ class DistributedExact:
         else:
             self.mesh = mesh_ if mesh_ is not None else pmesh.make_mesh()
             self.axis = axis
-            self._core = make_dist_nlml_core(self.mesh, axis,
-                                             update_dtype=self.update_dtype)
+            self._core = make_dist_nlml_core(
+                self.mesh, axis, update_dtype=self.update_dtype,
+                gemm_precision=self.gemm_precision)
 
     def _gram(self, kernel, x):
         if self.layout == "2d":

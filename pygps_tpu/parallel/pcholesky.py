@@ -52,7 +52,7 @@ def _local_gidx(p, m, axis):
 
 
 def _pchol_local(A, *, p, m, b, n, axis, n_col_chunks=16,
-                 update_dtype=None, trailing="xla"):
+                 update_dtype=None, gemm_precision=None, trailing="xla"):
     """Kernel body: A is the local (m, b, n) slab; returns local L slab.
 
     The trailing update is split into ``n_col_chunks`` static column
@@ -91,9 +91,14 @@ def _pchol_local(A, *, p, m, b, n, axis, n_col_chunks=16,
         # the O(b³) work on the MXU so the panel width can grow to
         # 2048-4096 (fatter trailing GEMMs, fewer sequential panels).
         # In bf16 mode the panel GEMMs drop from HIGHEST (bf16_6x) to
-        # DEFAULT (bf16_3x, ~2× MXU rate, ~2⁻²¹ contraction error) —
-        # far tighter than the bf16 trailing updates this mode accepts.
-        pan_prec = (lax.Precision.DEFAULT if update_dtype is not None
+        # HIGH (bf16_3x, ~2× MXU rate, ~2⁻²¹ contraction error) — far
+        # tighter than the bf16 trailing updates this mode accepts.
+        # NOT Precision.DEFAULT: on v5e that is a single bf16 pass whose
+        # ~1e-2 panel error drives the Schur complement indefinite
+        # (measured: NaN factor at n=2048 — probe_bf16_trajectory bisect).
+        pan_prec = (lax.Precision.HIGH
+                    if (update_dtype is not None
+                        or gemm_precision == lax.Precision.HIGH)
                     else lax.Precision.HIGHEST)
         L_kk = rchol(A_kk, base=1024, precision=pan_prec)
         # 2. local panel solve X L_kkᵀ = C as ONE GEMM against the explicit
@@ -101,8 +106,28 @@ def _pchol_local(A, *, p, m, b, n, axis, n_col_chunks=16,
         #    runs far below MXU rate on v5e; L_kk is a Cholesky factor of a
         #    jitter-guarded block, so cond(L_kk) ≈ √cond(A_kk) is benign
         iL_kk = tril_inverse(L_kk)
-        L_pan = jnp.matmul(C.reshape(m * b, b), iL_kk.T,
-                           precision=pan_prec).reshape(m, b, b)
+        # Only rows with gidx > k survive the masks below (the diagonal
+        # row is overwritten by L_kk), so the panel solve skips row
+        # chunks entirely above the panel via lax.cond — on average
+        # halves the panel-GEMM FLOPs, which at b ≥ 2048 rival the
+        # trailing update in cost.
+        nmc = min(4, m) if m % min(4, m) == 0 else 1
+        rows_per = m // nmc
+        Cf = C.reshape(m * b, b)
+        parts = []
+        for c in range(nmc):
+            hi_gidx = gidx[(c + 1) * rows_per - 1]
+            Cc = Cf[c * rows_per * b:(c + 1) * rows_per * b]
+
+            def solve_chunk(ops):
+                Cc_, iL_ = ops
+                return jnp.matmul(Cc_, iL_.T, precision=pan_prec)
+
+            parts.append(lax.cond(
+                hi_gidx > k, solve_chunk,
+                lambda ops: jnp.zeros((rows_per * b, b), A.dtype),
+                (Cc, iL_kk)))
+        L_pan = jnp.concatenate(parts, axis=0).reshape(m, b, b)
         after = (gidx > k)[:, None, None]
         is_k = (gidx == k)[:, None, None]
         P_loc = jnp.where(after, L_pan, 0.0) + jnp.where(is_k, L_kk, 0.0)
@@ -160,7 +185,11 @@ def _pchol_local(A, *, p, m, b, n, axis, n_col_chunks=16,
                 Lf, Pcc = ops
                 if update_dtype is not None:
                     Pcc = Pcc.astype(update_dtype)
+                    return jnp.matmul(Lf, Pcc.T,
+                                      preferred_element_type=A.dtype
+                                      ).astype(A.dtype).reshape(mc, b, cw)
                 return jnp.matmul(Lf, Pcc.T,
+                                  precision=gemm_precision,
                                   preferred_element_type=A.dtype
                                   ).astype(A.dtype).reshape(mc, b, cw)
 
@@ -174,7 +203,8 @@ def _pchol_local(A, *, p, m, b, n, axis, n_col_chunks=16,
 
 
 def pcholesky(A_bc: jax.Array, mesh: Mesh, axis: str = "shard",
-              update_dtype=None, n_col_chunks: int = 16,
+              update_dtype=None, gemm_precision=None,
+              n_col_chunks: int = 16,
               trailing: str = "xla") -> jax.Array:
     """Factor a bc-layout SPD matrix: returns L (bc layout, lower).
 
@@ -198,6 +228,7 @@ def pcholesky(A_bc: jax.Array, mesh: Mesh, axis: str = "shard",
         return _pchol_local(A[0], p=p, m=m, b=b, n=n, axis=axis,
                             n_col_chunks=n_col_chunks,
                             update_dtype=update_dtype,
+                            gemm_precision=gemm_precision,
                             trailing=trailing)[None]
 
     f = shard_map(body, mesh=mesh, in_specs=(P(axis),), out_specs=P(axis),

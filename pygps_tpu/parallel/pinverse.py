@@ -21,17 +21,20 @@ from jax.sharding import Mesh, PartitionSpec as P
 from pygps_tpu.ops.trtri import tril_inverse
 
 
-def _prec(update_dtype):
+def _prec(update_dtype, gemm_precision=None):
     """Panel-GEMM precision policy: HIGHEST in full-precision mode;
-    DEFAULT (bf16_3x, ~2⁻²¹ contraction error) in bf16 mode — consistent
-    with the pcholesky panel-solve policy and far tighter than the bf16
-    coupling GEMMs that mode already accepts."""
-    return (lax.Precision.DEFAULT if update_dtype is not None
-            else lax.Precision.HIGHEST)
+    HIGH (bf16_3x, ~2⁻²¹ contraction error) in bf16/high modes —
+    consistent with the pcholesky panel-solve policy and far tighter
+    than the bf16 coupling GEMMs bf16 mode accepts.  (NOT DEFAULT: on
+    v5e that is a single bf16 pass — see pcholesky panel comment.)"""
+    if update_dtype is not None or gemm_precision == lax.Precision.HIGH:
+        return lax.Precision.HIGH
+    return lax.Precision.HIGHEST
 
 
 def pinv_chol(L_bc: jax.Array, mesh: Mesh, axis: str = "shard",
-              n_row_chunks: int = 8, update_dtype=None) -> jax.Array:
+              n_row_chunks: int = 8, update_dtype=None,
+              gemm_precision=None) -> jax.Array:
     """B⁻¹ (bc row layout) from the bc-layout factor L of B.
 
     Both solve phases chunk their (n-long) contraction dimension into
@@ -90,7 +93,8 @@ def pinv_chol(L_bc: jax.Array, mesh: Mesh, axis: str = "shard",
                         return jnp.matmul(r_.astype(update_dtype),
                                           z_.astype(update_dtype),
                                           preferred_element_type=L.dtype)
-                    return r_ @ z_
+                    return jnp.matmul(r_, z_, precision=gemm_precision,
+                                      preferred_element_type=L.dtype)
 
                 S = S + lax.cond(
                     needed, part,
@@ -105,7 +109,8 @@ def pinv_chol(L_bc: jax.Array, mesh: Mesh, axis: str = "shard",
             # n=32768 b=4096 (20.7 GiB); the GEMM form has one (b, n/p)
             # temp and runs at MXU rate
             iL = tril_inverse(L_kk)
-            Z_k = jnp.matmul(iL, I_k - S, precision=_prec(update_dtype),
+            Z_k = jnp.matmul(iL, I_k - S,
+                             precision=_prec(update_dtype, gemm_precision),
                              preferred_element_type=L.dtype)
             return lax.dynamic_update_slice(Z, Z_k, (cs, cs * 0))
 
@@ -143,7 +148,8 @@ def pinv_chol(L_bc: jax.Array, mesh: Mesh, axis: str = "shard",
                         return jnp.matmul(c_.T.astype(update_dtype),
                                           x_.astype(update_dtype),
                                           preferred_element_type=L.dtype)
-                    return c_.T @ x_
+                    return jnp.matmul(c_.T, x_, precision=gemm_precision,
+                                      preferred_element_type=L.dtype)
 
                 S = S + lax.cond(
                     needed, part,
@@ -151,7 +157,8 @@ def pinv_chol(L_bc: jax.Array, mesh: Mesh, axis: str = "shard",
                     (col_strict[start:start + ch], ZX[start:start + ch]))
             Z_k = lax.dynamic_slice(ZX, (cs, cs * 0), (b, nloc))
             iL = tril_inverse(L_kk)
-            X_k = jnp.matmul(iL.T, Z_k - S, precision=_prec(update_dtype),
+            X_k = jnp.matmul(iL.T, Z_k - S,
+                             precision=_prec(update_dtype, gemm_precision),
                              preferred_element_type=L.dtype)
             return lax.dynamic_update_slice(ZX, X_k, (cs, cs * 0))
 
