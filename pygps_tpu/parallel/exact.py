@@ -176,7 +176,8 @@ class DistributedExact:
             self.mesh = mesh_
             self.axes = tuple(mesh_.axis_names)
             self._core = exact2d.make_dist_nlml_core2d(
-                self.mesh, self.axes, update_dtype=self.update_dtype)
+                self.mesh, self.axes, update_dtype=self.update_dtype,
+                gemm_precision=self.gemm_precision)
         else:
             self.mesh = mesh_ if mesh_ is not None else pmesh.make_mesh()
             self.axis = axis

@@ -215,7 +215,8 @@ def psolve_tril2d(L2: jax.Array, R: jax.Array, mesh: Mesh,
 
 
 def pinv_chol2d(L2: jax.Array, mesh: Mesh, axes=("row", "col"),
-                n_chunks: int = 4, update_dtype=None) -> jax.Array:
+                n_chunks: int = 4, update_dtype=None,
+                gemm_precision=None) -> jax.Array:
     """B⁻¹ in the 2-D layout from the 2-D-layout factor L of B.
 
     Two right-looking pdtrsm sweeps with the identity RHS held in-layout:
@@ -254,7 +255,8 @@ def pinv_chol2d(L2: jax.Array, mesh: Mesh, axes=("row", "col"),
                 return jnp.matmul(Lf.astype(update_dtype),
                                   Xf.astype(update_dtype),
                                   preferred_element_type=L.dtype)
-            return jnp.matmul(Lf, Xf, preferred_element_type=L.dtype)
+            return jnp.matmul(Lf, Xf, precision=gemm_precision,
+                              preferred_element_type=L.dtype)
 
         def chunked_update(B, Lrows, Zk, k, *, rows_after_k):
             """B[i, j] −= Lrows[i] @ Zk[j], chunked with dynamic skips.
@@ -381,7 +383,8 @@ def pinv_chol2d(L2: jax.Array, mesh: Mesh, axes=("row", "col"),
 # ---------------------------------------------------------------------------
 
 
-def _factor_solve2d(K2, rv, sn2, mesh_, axes, update_dtype=None):
+def _factor_solve2d(K2, rv, sn2, mesh_, axes, update_dtype=None,
+                    gemm_precision=None):
     pr, pc, mr, mc, b, _ = K2.shape
 
     def add_diag(Kl):
@@ -397,14 +400,15 @@ def _factor_solve2d(K2, rv, sn2, mesh_, axes, update_dtype=None):
     addI = shard_map(add_diag, mesh=mesh_, in_specs=(P(*axes),),
                      out_specs=P(*axes), check_vma=False)
     B2 = addI(K2)
-    L2 = pcholesky2d(B2, mesh_, axes, update_dtype=update_dtype)
+    L2 = pcholesky2d(B2, mesh_, axes, update_dtype=update_dtype,
+                     gemm_precision=gemm_precision)
     alpha = psolve_chol2d(L2, rv, mesh_, axes)
     logdet = plogdet_chol2d(L2, mesh_, axes)
     return L2, alpha, logdet
 
 
 def make_dist_nlml_core2d(mesh_: Mesh, axes=("row", "col"),
-                          update_dtype=None):
+                          update_dtype=None, gemm_precision=None):
     """nlml_core(K2, mvec, sn2, y) -> nlZ with the analytic VJP
     (reference inf.Exact dnlZ assembly, inf.py:~180) carried out entirely
     in the 2-D layout: Q = K̃⁻¹ − ααᵀ per local block, trace from the
@@ -414,7 +418,7 @@ def make_dist_nlml_core2d(mesh_: Mesh, axes=("row", "col"),
         n = y.shape[0]
         rv = y - mvec
         L2, alpha, logdet = _factor_solve2d(K2, rv, sn2, mesh_, axes,
-                                            update_dtype)
+                                            update_dtype, gemm_precision)
         nlZ = (0.5 * jnp.dot(rv, alpha) + 0.5 * logdet
                + 0.5 * n * jnp.log(2.0 * jnp.pi))
         return nlZ, (L2, alpha)
@@ -430,7 +434,8 @@ def make_dist_nlml_core2d(mesh_: Mesh, axes=("row", "col"),
     def bwd(res, g):
         L2, alpha, sn2 = res
         pr, pc, mr, mc, b, _ = L2.shape
-        Kinv2 = pinv_chol2d(L2, mesh_, axes, update_dtype=update_dtype)
+        Kinv2 = pinv_chol2d(L2, mesh_, axes, update_dtype=update_dtype,
+                            gemm_precision=gemm_precision)
 
         def q_local(Ki, al):
             Ki = Ki[0, 0]

@@ -102,7 +102,8 @@ def shard_bc2d(A2: jax.Array, mesh: Mesh, axes=("row", "col")) -> jax.Array:
 
 
 def _pchol2d_local(A, *, pr, pc, mr, mc, b, axis_r, axis_c,
-                   n_col_chunks=8, update_dtype=None):
+                   n_col_chunks=8, update_dtype=None,
+                   gemm_precision=None):
     """Kernel body: A is the local (mr, mc, b, b) slab."""
     r = lax.axis_index(axis_r)
     c = lax.axis_index(axis_c)
@@ -129,10 +130,15 @@ def _pchol2d_local(A, *, pr, pc, mr, mc, b, axis_r, axis_c,
         L_kk = jnp.linalg.cholesky(A_kk)
         iL_kk = lax.linalg.triangular_solve(
             L_kk, jnp.eye(b, dtype=A.dtype), left_side=True, lower=True)
+        pan_prec = (lax.Precision.HIGH
+                    if (update_dtype is not None
+                        or gemm_precision == lax.Precision.HIGH)
+                    else lax.Precision.HIGHEST)
         # --- 2. panel solve on grid column c0 (GEMM vs explicit inverse) --
         Ck = lax.dynamic_slice(A, (0, kc, kr * 0, kr * 0),
                                (mr, 1, b, b))[:, 0]          # (mr, b, b)
-        L_pan = (Ck.reshape(mr * b, b) @ iL_kk.T).reshape(mr, b, b)
+        L_pan = jnp.matmul(Ck.reshape(mr * b, b), iL_kk.T,
+                           precision=pan_prec).reshape(mr, b, b)
         below = (g_rows > k)[:, None, None]
         is_k = (g_rows == k)[:, None, None]
         P_loc = jnp.where(below, L_pan, 0.0) + jnp.where(is_k, L_kk, 0.0)
@@ -182,7 +188,8 @@ def _pchol2d_local(A, *, pr, pc, mr, mc, b, axis_r, axis_c,
 
             def upd(ops, mrc=mrc, cw=cw):
                 Lf, Pf = ops
-                out = jnp.matmul(Lf, Pf,
+                prec = None if update_dtype is not None else gemm_precision
+                out = jnp.matmul(Lf, Pf, precision=prec,
                                  preferred_element_type=A.dtype)
                 return out.astype(A.dtype).reshape(mrc, b, cw, b)
 
@@ -198,7 +205,8 @@ def _pchol2d_local(A, *, pr, pc, mr, mc, b, axis_r, axis_c,
 
 
 def pcholesky2d(A2: jax.Array, mesh: Mesh, axes=("row", "col"),
-                n_col_chunks: int = 8, update_dtype=None) -> jax.Array:
+                n_col_chunks: int = 8, update_dtype=None,
+                gemm_precision=None) -> jax.Array:
     """Factor an SPD matrix in 2-D block-cyclic layout; returns the lower
     factor in the same layout (upper-triangle blocks undefined — use
     ``from_block_cyclic_2d(..., tril=True)`` or the masked consumers).
@@ -211,7 +219,8 @@ def pcholesky2d(A2: jax.Array, mesh: Mesh, axes=("row", "col"),
         return _pchol2d_local(A[0, 0], pr=pr, pc=pc, mr=mr, mc=mc, b=b,
                               axis_r=axes[0], axis_c=axes[1],
                               n_col_chunks=n_col_chunks,
-                              update_dtype=update_dtype)[None, None]
+                              update_dtype=update_dtype,
+                              gemm_precision=gemm_precision)[None, None]
 
     f = shard_map(body, mesh=mesh, in_specs=(P(axes[0], axes[1]),),
                   out_specs=P(axes[0], axes[1]), check_vma=False)
