@@ -33,7 +33,7 @@ def main():
     ap.add_argument("--sweep", action="store_true",
                     help="device-count sweep: report scaling efficiency "
                          "(wall-clock_1 / (p * wall-clock_p)) per op")
-    ap.add_argument("--precision", choices=["highest", "bf16"],
+    ap.add_argument("--precision", choices=["highest", "high", "bf16"],
                     default="highest",
                     help="Cholesky trailing-update precision "
                          "(DistributedExact(precision=...))")
@@ -114,6 +114,7 @@ def main():
                                      noise_diag=jnp.exp(-2.0)))
     K_bc = timed("sharded_gram_s", gram_j)
     chol_j = jax.jit(lambda K: pcholesky(K, mesh, update_dtype=upd_dtype,
+                                         gemm_precision=eng.gemm_precision,
                                          n_col_chunks=args.chunks))
     L = timed("dist_cholesky_s", chol_j, K_bc)
     if args.chol_only:
