@@ -42,7 +42,8 @@ def _pick_block(n: int) -> int | None:
     return None
 
 
-def tril_inverse(L: jax.Array, block: int | None = None) -> jax.Array:
+def tril_inverse(L: jax.Array, block: int | None = None,
+                 precision=None) -> jax.Array:
     """W = L⁻¹ for lower-triangular L, blocked so the O(n³) work is GEMMs.
 
     Block row i of W:  W[i,i] = L[i,i]⁻¹;
@@ -62,13 +63,16 @@ def tril_inverse(L: jax.Array, block: int | None = None) -> jax.Array:
             Lii, eye_b, left_side=True, lower=True)
         if i > 0:
             Li_left = L[i * b:(i + 1) * b, :i * b]       # (b, i·b)
-            S = Li_left @ W[:i * b, :i * b]              # GEMM
-            W = W.at[i * b:(i + 1) * b, :i * b].set(-(Wii @ S))
+            S = jnp.matmul(Li_left, W[:i * b, :i * b],
+                           precision=precision)          # GEMM
+            W = W.at[i * b:(i + 1) * b, :i * b].set(
+                -jnp.matmul(Wii, S, precision=precision))
         W = W.at[i * b:(i + 1) * b, i * b:(i + 1) * b].set(Wii)
     return W
 
 
-def inv_from_chol(L: jax.Array, block: int | None = None) -> jax.Array:
+def inv_from_chol(L: jax.Array, block: int | None = None,
+                  precision=None) -> jax.Array:
     """B⁻¹ = L⁻ᵀ L⁻¹ from the lower Cholesky factor L, GEMM-dominated.
 
     B⁻¹ is symmetric, so only its lower-block-triangular part is
@@ -85,13 +89,14 @@ def inv_from_chol(L: jax.Array, block: int | None = None) -> jax.Array:
         W = lax.linalg.triangular_solve(
             L, jnp.eye(n, dtype=L.dtype), left_side=True, lower=True)
         return W.T @ W
-    W = tril_inverse(L, b)
+    W = tril_inverse(L, b, precision=precision)
     nb = n // b
     cols = []
     for j in range(nb):
         Wtail = W[j * b:, j * b:]                        # (n−j·b, n−j·b)
         Wj = Wtail[:, :b]                                # (n−j·b, b)
-        low = Wtail.T @ Wj                               # rows ≥ j·b only
+        low = jnp.matmul(Wtail.T, Wj,
+                         precision=precision)            # rows ≥ j·b only
         if j:
             low = jnp.concatenate(
                 [jnp.zeros((j * b, b), L.dtype), low], axis=0)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from jax import lax, shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from pygps_tpu.ops.trtri import tril_inverse
+from pygps_tpu.ops.trtri import inv_from_chol, tril_inverse
 
 
 def _prec(update_dtype, gemm_precision=None):
@@ -51,6 +51,21 @@ def pinv_chol(L_bc: jax.Array, mesh: Mesh, axis: str = "shard",
     p, m, b, n = L_bc.shape
     nb = m * p
     nloc = m * b
+
+    if p == 1:
+        # single-device fast path: the bc slab IS the dense factor (a
+        # reshape), so B⁻¹ comes from the GEMM-dominated blocked
+        # tril_inverse + WᵀW (ops/trtri.py, ~n³ FLOPs with no
+        # sequential panel loop) instead of the 2n³ forward/backward
+        # substitution sweeps — ~2× fewer FLOPs and all of them
+        # full-width GEMMs.
+        prec = _prec(update_dtype, gemm_precision)
+        # no tril(): pcholesky zeroes the strict upper triangle as each
+        # panel column is written, and inv_from_chol only reads the
+        # lower triangle anyway — a tril copy would cost an n² temp
+        L_dense = L_bc.reshape(n, n)
+        Binv = inv_from_chol(L_dense, precision=prec)
+        return Binv.reshape(L_bc.shape)
 
     # cap the chunk unroll for small problems (compile time; see
     # _pchol_local) — the structural-zero skips only pay at scale
