@@ -33,7 +33,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-_TR = 512                    # row-tile height
+_TR = 256                    # row-tile height (512 blew the 16 MB scoped
+                             # VMEM limit at b=1024 once skipped tiles
+                             # copy the input tile unconditionally)
 _TK = 512                    # contraction split width
 
 
@@ -73,6 +75,15 @@ def _kernel(p, rb, use_bf16, scal_ref, A_ref, L_ref, P_ref, out_ref):
                                 precision=jax.lax.Precision.HIGHEST,
                                 preferred_element_type=jnp.float32)
         out_ref[...] = A_ref[...] - G.astype(out_ref.dtype)
+
+    # Skipped tiles MUST still copy the input: on compiled TPU an
+    # unwritten output block is undefined even with input_output_aliases
+    # (aliasing reuses the buffer, it does NOT preload the output window —
+    # each grid step's output window starts uninitialized).  Interpret
+    # mode happened to preserve the aliased values, masking this.
+    @pl.when(jnp.logical_not(need))
+    def _():
+        out_ref[...] = A_ref[...]
 
 
 def trailing_update(A: jax.Array, Lrows: jax.Array, Pcols: jax.Array,

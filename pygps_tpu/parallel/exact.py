@@ -167,12 +167,18 @@ class DistributedExact:
             if mesh_ is None or len(mesh_.axis_names) != 2:
                 import numpy as np
 
-                ndev = (mesh_.devices.size if mesh_ is not None
-                        else len(jax.devices()))
+                if mesh_ is not None:
+                    # reshape the USER'S devices into a near-square grid —
+                    # silently regridding from jax.devices() could select
+                    # different physical devices than the mesh they passed
+                    devs = list(mesh_.devices.flatten())
+                else:
+                    devs = list(jax.devices())
+                ndev = len(devs)
                 pr = int(np.floor(np.sqrt(ndev)))
                 while ndev % pr != 0:
                     pr -= 1
-                mesh_ = exact2d.make_grid_mesh(pr, ndev // pr)
+                mesh_ = exact2d.make_grid_mesh(pr, ndev // pr, devices=devs)
             self.mesh = mesh_
             self.axes = tuple(mesh_.axis_names)
             self._core = exact2d.make_dist_nlml_core2d(

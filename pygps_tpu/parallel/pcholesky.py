@@ -51,6 +51,81 @@ def _local_gidx(p, m, axis):
 # ---------------------------------------------------------------------------
 
 
+def _panel_precision(update_dtype, gemm_precision):
+    """Panel GEMMs at HIGH (bf16_3x) in the fast modes, HIGHEST otherwise
+    — NOT Precision.DEFAULT: on v5e that is a single bf16 pass whose
+    ~1e-2 panel error drives the Schur complement indefinite (measured:
+    NaN factor at n=2048 — probe_bf16_trajectory bisect)."""
+    return (lax.Precision.HIGH
+            if (update_dtype is not None
+                or gemm_precision == lax.Precision.HIGH)
+            else lax.Precision.HIGHEST)
+
+
+def _factor_panel(A, k, *, p, m, b, n, axis, gidx, d, pan_prec):
+    """Factor panel ``k`` of the local slab (diagonal psum-broadcast,
+    recursive blocked factor, GEMM panel solve with row-chunk skip,
+    write-back, panel-column all_gather).
+
+    Returns ``(A, L_rows, P_cols)``: the slab with the finished panel
+    column written, the masked local panel rows (m, b, b), and the
+    gathered panel column (n, b) masked to columns > k.  Assumes every
+    prior panel's trailing update has already been applied to column k.
+    """
+    cs = k * b
+    owner = k % p
+    kloc = k // p
+    col_block = jnp.arange(n) // b
+    C = lax.dynamic_slice(A, (0, 0, cs), (m, b, b))
+    Ck = lax.dynamic_index_in_dim(C, kloc, axis=0, keepdims=False)
+    A_kk = lax.psum(jnp.where(d == owner, Ck, jnp.zeros_like(Ck)), axis)
+    # recursive blocked factor + GEMM-blocked triangular inverse:
+    # XLA's cholesky/TRSM are latency-bound (~1.5 ms each at b≤1024
+    # regardless of b, probe_chol_phases2) — rchol/tril_inverse keep
+    # the O(b³) work on the MXU so the panel width can grow to
+    # 2048-4096 (fatter trailing GEMMs, fewer sequential panels).
+    L_kk = rchol(A_kk, base=1024, precision=pan_prec)
+    # local panel solve X L_kkᵀ = C as ONE GEMM against the explicit
+    # b×b inverse: the m-batched TRSM runs far below MXU rate on v5e;
+    # L_kk is a Cholesky factor of a jitter-guarded block, so
+    # cond(L_kk) ≈ √cond(A_kk) is benign.
+    iL_kk = tril_inverse(L_kk)
+    # Only rows with gidx > k survive the masks below, so the panel
+    # solve skips row chunks entirely above the panel via lax.cond —
+    # on average halves the panel-GEMM FLOPs, which at b ≥ 2048 rival
+    # the trailing update in cost.
+    nmc = min(4, m) if m % min(4, m) == 0 else 1
+    rows_per = m // nmc
+    Cf = C.reshape(m * b, b)
+    parts = []
+    for c in range(nmc):
+        hi_gidx = gidx[(c + 1) * rows_per - 1]
+        Cc = Cf[c * rows_per * b:(c + 1) * rows_per * b]
+
+        def solve_chunk(ops):
+            Cc_, iL_ = ops
+            return jnp.matmul(Cc_, iL_.T, precision=pan_prec)
+
+        parts.append(lax.cond(
+            hi_gidx > k, solve_chunk,
+            lambda ops: jnp.zeros((rows_per * b, b), A.dtype),
+            (Cc, iL_kk)))
+    L_pan = jnp.concatenate(parts, axis=0).reshape(m, b, b)
+    after = (gidx > k)[:, None, None]
+    is_k = (gidx == k)[:, None, None]
+    P_loc = jnp.where(after, L_pan, 0.0) + jnp.where(is_k, L_kk, 0.0)
+    # write the finished panel column (zeros for blocks < k → upper
+    # triangle is zeroed exactly once, when its column block finishes)
+    A = lax.dynamic_update_slice(A, P_loc, (0, 0, cs))
+    # gather the full panel column (n, b)
+    P_all = lax.all_gather(P_loc, axis)            # (p, m, b, b)
+    P_dense = jnp.swapaxes(P_all, 0, 1).reshape(n, b)
+    # column-side mask: only blocks > k receive updates
+    P_cols = jnp.where((col_block > k)[:, None], P_dense, 0.0)
+    L_rows = jnp.where(after, L_pan, 0.0)          # (m, b, b)
+    return A, L_rows, P_cols
+
+
 def _pchol_local(A, *, p, m, b, n, axis, n_col_chunks=16,
                  update_dtype=None, gemm_precision=None, trailing="xla"):
     """Kernel body: A is the local (m, b, n) slab; returns local L slab.
@@ -63,90 +138,13 @@ def _pchol_local(A, *, p, m, b, n, axis, n_col_chunks=16,
     gidx = _local_gidx(p, m, axis)
     d = lax.axis_index(axis)
     nb = m * p
-    col_block = jnp.arange(n) // b        # (n,) block index of each column
-
-    # small problems (tests, dryruns): the FLOP savings of fine chunking
-    # are negligible but every chunk adds a cond branch to the traced
-    # panel body — compile time scales with it.  Cap the unroll.
-    if n < 4096:
-        n_col_chunks = min(n_col_chunks, 4)
-    # chunk width: multiple of b, dividing n
-    cw = max(b, (n // n_col_chunks) // b * b)
-    while n % cw != 0:
-        cw -= b
-    nchunks = n // cw
+    cw, nchunks = _chunk_geometry(n, b, n_col_chunks)
+    pan_prec = _panel_precision(update_dtype, gemm_precision)
 
     def panel(k, A):
-        owner = k % p
-        kloc = k // p
-        cs = k * b
-        # panel columns of all local blocks: (m, b, b)
-        C = lax.dynamic_slice(A, (0, 0, cs), (m, b, b))
-        # 1. diagonal block broadcast
-        Ck = lax.dynamic_index_in_dim(C, kloc, axis=0, keepdims=False)
-        A_kk = lax.psum(jnp.where(d == owner, Ck, jnp.zeros_like(Ck)), axis)
-        # recursive blocked factor + GEMM-blocked triangular inverse:
-        # XLA's cholesky/TRSM are latency-bound (~1.5 ms each at b≤1024
-        # regardless of b, probe_chol_phases2) — rchol/tril_inverse keep
-        # the O(b³) work on the MXU so the panel width can grow to
-        # 2048-4096 (fatter trailing GEMMs, fewer sequential panels).
-        # In bf16 mode the panel GEMMs drop from HIGHEST (bf16_6x) to
-        # HIGH (bf16_3x, ~2× MXU rate, ~2⁻²¹ contraction error) — far
-        # tighter than the bf16 trailing updates this mode accepts.
-        # NOT Precision.DEFAULT: on v5e that is a single bf16 pass whose
-        # ~1e-2 panel error drives the Schur complement indefinite
-        # (measured: NaN factor at n=2048 — probe_bf16_trajectory bisect).
-        pan_prec = (lax.Precision.HIGH
-                    if (update_dtype is not None
-                        or gemm_precision == lax.Precision.HIGH)
-                    else lax.Precision.HIGHEST)
-        L_kk = rchol(A_kk, base=1024, precision=pan_prec)
-        # 2. local panel solve X L_kkᵀ = C as ONE GEMM against the explicit
-        #    b×b inverse (C reshaped (m·b, b) @ L_kk⁻ᵀ): the m-batched TRSM
-        #    runs far below MXU rate on v5e; L_kk is a Cholesky factor of a
-        #    jitter-guarded block, so cond(L_kk) ≈ √cond(A_kk) is benign
-        iL_kk = tril_inverse(L_kk)
-        # Only rows with gidx > k survive the masks below (the diagonal
-        # row is overwritten by L_kk), so the panel solve skips row
-        # chunks entirely above the panel via lax.cond — on average
-        # halves the panel-GEMM FLOPs, which at b ≥ 2048 rival the
-        # trailing update in cost.
-        nmc = min(4, m) if m % min(4, m) == 0 else 1
-        rows_per = m // nmc
-        Cf = C.reshape(m * b, b)
-        parts = []
-        for c in range(nmc):
-            hi_gidx = gidx[(c + 1) * rows_per - 1]
-            Cc = Cf[c * rows_per * b:(c + 1) * rows_per * b]
-
-            def solve_chunk(ops):
-                Cc_, iL_ = ops
-                return jnp.matmul(Cc_, iL_.T, precision=pan_prec)
-
-            parts.append(lax.cond(
-                hi_gidx > k, solve_chunk,
-                lambda ops: jnp.zeros((rows_per * b, b), A.dtype),
-                (Cc, iL_kk)))
-        L_pan = jnp.concatenate(parts, axis=0).reshape(m, b, b)
-        after = (gidx > k)[:, None, None]
-        is_k = (gidx == k)[:, None, None]
-        P_loc = jnp.where(after, L_pan, 0.0) + jnp.where(is_k, L_kk, 0.0)
-        # write the finished panel column (zeros for blocks < k → upper
-        # triangle is zeroed exactly once, when its column block finishes)
-        A = lax.dynamic_update_slice(A, P_loc, (0, 0, cs))
-        # 3. gather the full panel column (n, b)
-        P_all = lax.all_gather(P_loc, axis)            # (p, m, b, b)
-        P_dense = jnp.swapaxes(P_all, 0, 1).reshape(n, b)
-        # column-side mask: only blocks > k receive updates
-        P_cols = jnp.where((col_block > k)[:, None], P_dense, 0.0)
-        # 4. trailing update, chunked: chunk c covers cols [c·cw, (c+1)·cw)
-        #    and needs work only if it extends past the panel end.
-        #    Each chunk is ONE (m·b, b)×(b, cw) GEMM (the (m,b,b) batch is
-        #    independent over rows, so it folds into the row dimension);
-        #    XLA keeps the chained in-place .at[].add updates fused
-        #    (measured: a concatenate-then-subtract variant was ~20% slower
-        #    at n=16384 on v5e).
-        L_rows = jnp.where(after, L_pan, 0.0)          # (m, b, b)
+        A, L_rows, P_cols = _factor_panel(
+            A, k, p=p, m=m, b=b, n=n, axis=axis, gidx=gidx, d=d,
+            pan_prec=pan_prec)
         if trailing == "pallas":
             # fused mask+GEMM+subtract with per-tile skip decisions on
             # the scalar core (ops/trailing_pallas.py): no lax.cond
@@ -156,56 +154,153 @@ def _pchol_local(A, *, p, m, b, n, axis, n_col_chunks=16,
             return trailing_update(
                 A, L_rows, P_cols, k, d, p,
                 tn=min(512, b), use_bf16=update_dtype is not None)
-        Lr = L_rows
-        if update_dtype is not None:
-            # mixed precision: low-precision operands, full-precision
-            # accumulation (the trailing GEMM is the FLOP hot spot;
-            # panels/diagonal stay full precision)
-            Lr = Lr.astype(update_dtype)
-        Lflat = Lr.reshape(m * b, b)
-        for c in range(nchunks):
-            start = c * cw
-            Pc = P_cols[start:start + cw]              # (cw, b) static slice
-            needed = (start + cw) > (cs + b)
-            # triangular row skip: only rows ≥ the chunk's first column
-            # ever receive updates from this chunk (lower triangle), and
-            # under the block-cyclic layout those form a STATIC suffix of
-            # local blocks (local ℓ ↔ global d + p·ℓ is monotone).  l0 is
-            # the conservative (min over devices) suffix start — over-
-            # includes < 1 block/device, and `start` is a Python int, so
-            # the slice is static.  Combined with the column-chunk skip
-            # this takes the update FLOPs from n³/(2p) full-width to the
-            # ~n³/(3p) triangular ideal with no Pallas and no dynamic
-            # shapes.
-            l0 = max(0, -(-(start // b - (p - 1)) // p))
-            mc = m - l0
-            Lc = Lflat[l0 * b:]                        # ((m-l0)·b, b)
-
-            def upd(ops, mc=mc, cw=cw):
-                Lf, Pcc = ops
-                if update_dtype is not None:
-                    Pcc = Pcc.astype(update_dtype)
-                    return jnp.matmul(Lf, Pcc.T,
-                                      preferred_element_type=A.dtype
-                                      ).astype(A.dtype).reshape(mc, b, cw)
-                return jnp.matmul(Lf, Pcc.T,
-                                  precision=gemm_precision,
-                                  preferred_element_type=A.dtype
-                                  ).astype(A.dtype).reshape(mc, b, cw)
-
-            delta = lax.cond(needed, upd,
-                             lambda ops: jnp.zeros((mc, b, cw), A.dtype),
-                             (Lc, Pc))
-            A = A.at[l0:, :, start:start + cw].add(-delta)
-        return A
+        return _trailing_chunks(
+            A, L_rows, P_cols, past=(k + 1) * b, p=p, m=m, b=b,
+            cw=cw, nchunks=nchunks, update_dtype=update_dtype,
+            gemm_precision=gemm_precision)
 
     return lax.fori_loop(0, nb, panel, A)
+
+
+def _chunk_geometry(n, b, n_col_chunks):
+    # small problems (tests, dryruns): the FLOP savings of fine chunking
+    # are negligible but every chunk adds a cond branch to the traced
+    # panel body — compile time scales with it.  Cap the unroll.
+    if n < 4096:
+        n_col_chunks = min(n_col_chunks, 4)
+    # chunk width: multiple of b, dividing n
+    cw = max(b, (n // n_col_chunks) // b * b)
+    while n % cw != 0:
+        cw -= b
+    return cw, n // cw
+
+
+def _trailing_chunks(A, L_rows, P_cols, *, past, p, m, b, cw, nchunks,
+                     update_dtype, gemm_precision):
+    """Chunked trailing update ``A -= L_rows · P_colsᵀ`` restricted to
+    columns past the (traced) global column index ``past``; ``P_cols``
+    must already be zero-masked at columns ≤ ``past``.
+
+    Chunk c covers cols [c·cw, (c+1)·cw) and needs work only if it
+    extends past ``past``.  Each chunk is ONE (m·b, b)×(b, cw) GEMM (the
+    (m,b,b) batch is independent over rows, so it folds into the row
+    dimension); XLA keeps the chained in-place .at[].add updates fused
+    (measured: a concatenate-then-subtract variant was ~20% slower at
+    n=16384 on v5e)."""
+    Lr = L_rows
+    if update_dtype is not None:
+        # mixed precision: low-precision operands, full-precision
+        # accumulation (the trailing GEMM is the FLOP hot spot;
+        # panels/diagonal stay full precision)
+        Lr = Lr.astype(update_dtype)
+    Lflat = Lr.reshape(m * b, b)
+    for c in range(nchunks):
+        start = c * cw
+        Pc = P_cols[start:start + cw]              # (cw, b) static slice
+        needed = (start + cw) > past
+        # triangular row skip: only rows ≥ the chunk's first column
+        # ever receive updates from this chunk (lower triangle), and
+        # under the block-cyclic layout those form a STATIC suffix of
+        # local blocks (local ℓ ↔ global d + p·ℓ is monotone).  l0 is
+        # the conservative (min over devices) suffix start — over-
+        # includes < 1 block/device, and `start` is a Python int, so
+        # the slice is static.  Combined with the column-chunk skip
+        # this takes the update FLOPs from n³/(2p) full-width to the
+        # ~n³/(3p) triangular ideal with no Pallas and no dynamic
+        # shapes.
+        l0 = max(0, -(-(start // b - (p - 1)) // p))
+        mc = m - l0
+        Lc = Lflat[l0 * b:]                        # ((m-l0)·b, b)
+
+        def upd(ops, mc=mc, cw=cw):
+            Lf, Pcc = ops
+            if update_dtype is not None:
+                Pcc = Pcc.astype(update_dtype)
+                return jnp.matmul(Lf, Pcc.T,
+                                  preferred_element_type=A.dtype
+                                  ).astype(A.dtype).reshape(mc, b, cw)
+            return jnp.matmul(Lf, Pcc.T,
+                              precision=gemm_precision,
+                              preferred_element_type=A.dtype
+                              ).astype(A.dtype).reshape(mc, b, cw)
+
+        delta = lax.cond(needed, upd,
+                         lambda ops: jnp.zeros((mc, b, cw), A.dtype),
+                         (Lc, Pc))
+        A = A.at[l0:, :, start:start + cw].add(-delta)
+    return A
+
+
+def _pchol_local_lookahead(A, *, p, m, b, n, axis, n_col_chunks=16,
+                           update_dtype=None, gemm_precision=None):
+    """Lookahead variant of ``_pchol_local``: panel k+1 is factored (and
+    its column all_gathered) BEFORE panel k's bulk trailing update, so
+    the gather's ICI transfer is independent of — and can be overlapped
+    with — the panel's dominant trailing GEMMs by XLA's async-collective
+    scheduler.  The classic lookahead/compute-ahead schedule of
+    ScaLAPACK/SLATE right-looking Cholesky, re-expressed for shard_map.
+
+    Iteration k (carrying panel k's factored column, gather in flight):
+      a. apply panel k's update ONLY to panel k+1's column strip;
+      b. factor panel k+1 from the updated strip; issue its all_gather;
+      c. apply panel k's trailing update to the remaining columns
+         (> strip) — one big GEMM chain with NO data dependency on (b)'s
+         gather, which therefore rides ICI behind it.
+
+    Numerically identical to the non-lookahead path (same update order
+    per column, same precisions); only the schedule changes."""
+    gidx = _local_gidx(p, m, axis)
+    d = lax.axis_index(axis)
+    nb = m * p
+    col_block = jnp.arange(n) // b
+    cw, nchunks = _chunk_geometry(n, b, n_col_chunks)
+    pan_prec = _panel_precision(update_dtype, gemm_precision)
+
+    kw = dict(p=p, m=m, b=b, n=n, axis=axis, gidx=gidx, d=d,
+              pan_prec=pan_prec)
+    A, L_rows, P_cols = _factor_panel(A, 0, **kw)
+
+    def step(k, carry):
+        A, L_rows, P_cols = carry
+        ns = (k + 1) * b
+        # (a) strip update: the next panel's column receives panel k's
+        # trailing update first, at the same precision as the bulk path
+        Pc_strip = lax.dynamic_slice(P_cols, (ns, 0), (b, b))
+        strip = lax.dynamic_slice(A, (0, 0, ns), (m, b, b))
+        Lr = L_rows
+        if update_dtype is not None:
+            Lr = Lr.astype(update_dtype)
+            Pc_s = Pc_strip.astype(update_dtype)
+            delta = jnp.matmul(Lr.reshape(m * b, b), Pc_s.T,
+                               preferred_element_type=A.dtype
+                               ).astype(A.dtype)
+        else:
+            delta = jnp.matmul(Lr.reshape(m * b, b), Pc_strip.T,
+                               precision=gemm_precision,
+                               preferred_element_type=A.dtype
+                               ).astype(A.dtype)
+        strip = strip - delta.reshape(m, b, b)
+        A = lax.dynamic_update_slice(A, strip, (0, 0, ns))
+        # (b) factor panel k+1 — its all_gather result is consumed only
+        # by the NEXT iteration, so the collective overlaps (c)
+        A, L_rows_n, P_cols_n = _factor_panel(A, k + 1, **kw)
+        # (c) bulk trailing update of panel k: columns past the strip
+        P_rest = jnp.where((col_block > k + 1)[:, None], P_cols, 0.0)
+        A = _trailing_chunks(
+            A, L_rows, P_rest, past=ns + b, p=p, m=m, b=b, cw=cw,
+            nchunks=nchunks, update_dtype=update_dtype,
+            gemm_precision=gemm_precision)
+        return (A, L_rows_n, P_cols_n)
+
+    A, _, _ = lax.fori_loop(0, nb - 1, step, (A, L_rows, P_cols))
+    return A
 
 
 def pcholesky(A_bc: jax.Array, mesh: Mesh, axis: str = "shard",
               update_dtype=None, gemm_precision=None,
               n_col_chunks: int = 16,
-              trailing: str = "xla") -> jax.Array:
+              trailing: str = "xla",
+              lookahead: bool = False) -> jax.Array:
     """Factor a bc-layout SPD matrix: returns L (bc layout, lower).
 
     ``update_dtype=jnp.bfloat16`` runs the trailing-update GEMMs in bf16
@@ -221,10 +316,21 @@ def pcholesky(A_bc: jax.Array, mesh: Mesh, axis: str = "shard",
     ``trailing="pallas"`` routes the trailing update through the fused
     masked Pallas kernel (ops/trailing_pallas.py) — per-tile skips, no
     cond branches, subtract fused into the GEMM epilogue.  TPU only
-    (b and n must be multiples of 512)."""
+    (b and n must be multiples of 512).
+
+    ``lookahead=True`` uses the compute-ahead schedule: the next panel
+    is factored and its column's all_gather issued BEFORE the current
+    panel's bulk trailing update, so the ICI transfer overlaps the
+    dominant GEMMs (same numerics, different schedule — see
+    ``_pchol_local_lookahead``)."""
     p, m, b, n = A_bc.shape
 
     def body(A):
+        if lookahead:
+            return _pchol_local_lookahead(
+                A[0], p=p, m=m, b=b, n=n, axis=axis,
+                n_col_chunks=n_col_chunks, update_dtype=update_dtype,
+                gemm_precision=gemm_precision)[None]
         return _pchol_local(A[0], p=p, m=m, b=b, n=n, axis=axis,
                             n_col_chunks=n_col_chunks,
                             update_dtype=update_dtype,

@@ -36,8 +36,10 @@ r0 = k mod pr):
    over local column blocks with the same static triangular row-suffix
    skip as the 1-D kernel (~n³/(3·pr·pc) FLOPs per device).
 
-Solves/logdet reuse the 1-D machinery after ``bc2d_to_dense``
-redistribution (the O(n²) part; direct 2-D solves are a follow-up).
+This module holds the 2-D layout + factorization; the in-layout solves,
+inverse, Gram construction, and prediction (right-looking pdtrsm-style,
+no dense redistribution) live in ``parallel/exact2d.py``, which is what
+``DistributedExact(layout="2d")`` drives end-to-end.
 """
 
 from __future__ import annotations
@@ -55,9 +57,12 @@ from jax import shard_map
 # ---------------------------------------------------------------------------
 
 
-def make_grid_mesh(pr: int, pc: int, axes=("row", "col")) -> Mesh:
-    """(pr × pc) device grid from the first pr·pc visible devices."""
-    devs = np.asarray(jax.devices()[: pr * pc]).reshape(pr, pc)
+def make_grid_mesh(pr: int, pc: int, axes=("row", "col"),
+                   devices=None) -> Mesh:
+    """(pr × pc) device grid from ``devices`` (default: the first pr·pc
+    visible devices)."""
+    devs = np.asarray((devices if devices is not None
+                       else jax.devices())[: pr * pc]).reshape(pr, pc)
     return Mesh(devs, axes)
 
 

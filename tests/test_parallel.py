@@ -62,6 +62,25 @@ def test_pcholesky_solve_logdet_inverse(msh, spd):
                        np.linalg.inv(spd), atol=1e-10)
 
 
+def test_pcholesky_lookahead_matches(msh, spd):
+    """The compute-ahead schedule (panel k+1 factored + gathered before
+    panel k's bulk trailing update) must be numerically identical to the
+    plain right-looking path — only the op order changes."""
+    A = jnp.asarray(spd)
+    Abc = pmesh.shard_bc(pmesh.to_block_cyclic(A, B, PDEV), msh)
+    L = pcholesky(Abc, msh, lookahead=True)
+    Lref = np.linalg.cholesky(spd)
+    assert np.allclose(np.asarray(pmesh.from_block_cyclic(L)), Lref,
+                       atol=1e-10)
+    # single-panel edge case (nb == 1): the lookahead loop body never runs
+    A1 = jnp.asarray(spd[:8, :8] + 8 * np.eye(8))
+    mesh1 = pmesh.make_mesh(1)
+    Abc1 = pmesh.to_block_cyclic(A1, 8, 1)
+    L1 = pcholesky(Abc1, mesh1, lookahead=True)
+    assert np.allclose(np.asarray(pmesh.from_block_cyclic(L1)),
+                       np.linalg.cholesky(np.asarray(A1)), atol=1e-10)
+
+
 def test_gram_constructions_match_dense(msh):
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.standard_normal((N, 3)))
