@@ -76,28 +76,66 @@ def sweep_count(x, y, pre_rank):
 
     @jax.jit
     def run(t0, n0):
-        ttau, tnu, nlZ, it = ep._ep_sweeps(ops, m, lik, y, t0, n0)
+        ttau, tnu, nlZ, it, _ = ep._ep_sweeps(ops, m, lik, y, t0, n0)
         return nlZ, it
 
     nlZ, it = run(t0, n0)
     return float(nlZ), int(it)
 
 
+def time_warm_eval(x, y, pre_rank, reps=5):
+    """Warm-started eval (sites from the previous optimizer step): the
+    presolve must cold-gate to ~0 ms and the sweep count drop."""
+    prior = (pg.mean.Zero(), pg.cov.RBF(0.0, 0.0), pg.lik.Erf())
+
+    @jax.jit
+    def step(prior, t0, n0):
+        def f(pr):
+            nlZ, sites = ep.nlml_with_sites(pr[0], pr[1], pr[2], x, y,
+                                            t0, n0, pre_rank=pre_rank)
+            return nlZ, sites
+        (v, sites), g = jax.value_and_grad(f, has_aux=True)(prior)
+        return v, sites, g
+
+    z = jnp.zeros_like(y)
+    v, sites, g = step(prior, z, z)          # cold eval → converged sites
+    jax.block_until_ready(sites)
+    v, sites, g = step(prior, *sites)        # compile warm path
+    float(v)
+    ts = []
+    for _ in range(reps):
+        t0c = time.perf_counter()
+        v, s2, g = step(prior, *sites)
+        float(v)
+        ts.append(time.perf_counter() - t0c)
+    return statistics.median(ts)
+
+
 def main():
     x, y = _data()
-    for pre_rank, gemm in ((0, False), (256, False), (512, False),
-                           (256, True)):
+    for pre_rank, gemm, analytic in ((256, False, True),
+                                     (256, False, False),
+                                     (0, False, True)):
             config.EP_GEMM_DIAG_SIGMA = gemm
+            config.EP_ANALYTIC_GRAD = analytic
             dt = time_eval(x, y, pre_rank)
             nlZ, it = sweep_count(x, y, pre_rank)
             print(json.dumps({
                 "probe": "ep_nlml_grad_n4096",
                 "pre_rank": pre_rank,
                 "gemm_diag_sigma": gemm,
+                "analytic_grad": analytic,
                 "ms_per_eval": round(dt * 1e3, 1),
                 "dense_sweeps_to_converge": it,
                 "nlZ": round(nlZ, 4),
             }), flush=True)
+    config.EP_ANALYTIC_GRAD = True
+    dtw = time_warm_eval(x, y, 256)
+    print(json.dumps({
+        "probe": "ep_nlml_grad_n4096_warm",
+        "pre_rank": 256, "analytic_grad": True,
+        "ms_per_eval": round(dtw * 1e3, 1),
+    }), flush=True)
     config.EP_GEMM_DIAG_SIGMA = False
 
 

@@ -32,7 +32,7 @@ from pygps_tpu.parallel.ring_gram import gram_bc
 
 
 def run(n, block, chunks, reps=3, trailing="xla", mode="bf16",
-        noise=None):
+        noise=None, lookahead=False, donate=False):
     mesh = pmesh.make_mesh(1)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((n, 8)), jnp.float32)
@@ -48,15 +48,32 @@ def run(n, block, chunks, reps=3, trailing="xla", mode="bf16",
 
     upd = jnp.bfloat16 if mode == "bf16" else None
     gp = _lax.Precision.HIGH if mode == "high" else None
+    # donate=True aliases the input slab into the factorization (the
+    # engine's real memory shape: the Gram is an intermediate of the same
+    # jit there, so XLA reuses its buffer; a standalone probe input can't
+    # be reused unless donated).  Timing then re-builds the Gram per rep
+    # (subtracted via the measured gram_j wall).
     chol_j = jax.jit(lambda K: pcholesky(K, mesh,
                                          update_dtype=upd,
                                          gemm_precision=gp,
                                          n_col_chunks=chunks,
-                                         trailing=trailing))
+                                         trailing=trailing,
+                                         lookahead=lookahead),
+                     donate_argnums=(0,) if donate else ())
+    t_gram = 0.0
+    if donate:
+        t0 = time.perf_counter()
+        K_bc = gram_j()
+        float(K_bc[0, 0, 0, 0])
+        t_gram = time.perf_counter() - t0
     L = chol_j(K_bc)
     float(L[0, 0, 0, 0])
     ts = []
     for _ in range(reps):
+        if donate:
+            del L
+            K_bc = gram_j()
+            float(K_bc[0, 0, 0, 0])
         t0 = time.perf_counter()
         L = chol_j(K_bc)
         float(L[0, 0, 0, 0])
@@ -65,6 +82,7 @@ def run(n, block, chunks, reps=3, trailing="xla", mode="bf16",
     finite = bool(jax.jit(lambda L: jnp.isfinite(L).all())(L))
     print(json.dumps({"n": n, "block": block, "chunks": chunks,
                       "trailing": trailing, "mode": mode,
+                      "lookahead": lookahead,
                       "noise": noise,
                       "wall_ms": round(dt * 1e3, 1),
                       "eff_tf_per_s": round(n**3 / 3 / dt / 1e12, 1),
@@ -89,5 +107,15 @@ if __name__ == "__main__":
     for cfg in args.configs.split(","):
         parts = cfg.split(":")
         b, c = int(parts[0]), int(parts[1])
-        tr = parts[2] if len(parts) > 2 else "xla"
-        run(args.n, b, c, trailing=tr, mode=args.mode, noise=args.noise)
+        tr = "xla"
+        la = False
+        donate = False
+        for extra in parts[2:]:
+            if extra == "la":
+                la = True
+            elif extra == "don":
+                donate = True
+            else:
+                tr = extra
+        run(args.n, b, c, trailing=tr, mode=args.mode, noise=args.noise,
+            lookahead=la, donate=donate)

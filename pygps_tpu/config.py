@@ -41,6 +41,15 @@ GEMM_INVERSE = True
 #: the MXU rate — enable for throughput-bound EP at large n.
 EP_GEMM_DIAG_SIGMA = False
 
+#: EP hyperparameter gradients via the analytic fixed-point form (GPML
+#: infEP.m F-form; see inference/ep.py::energy_fixed_sites_dense) instead
+#: of autodiff through the energy: reuses the sweep loop's converged
+#: factorization, replacing the energy's forward re-factorization and its
+#: ~2n³ VJP with ONE triangular-solve pass.  Exact at the EP fixed point
+#: (same stationarity the site stop-gradient already relies on); disable
+#: to fall back to full autodiff through the differentiable energy.
+EP_ANALYTIC_GRAD = True
+
 
 def use_gemm_inverse(enable: bool = True) -> None:
     """Route the exact-engine analytic backward through the blocked

@@ -190,7 +190,7 @@ def _ep_sweeps(ops, m, lik, y, ttau0, tnu0):
             jnp.asarray(False))
     out = lax.while_loop(cond, sweep, init)
     ttau, tnu, nlZ, it = out[0], out[1], out[5], out[7]
-    return ttau, tnu, nlZ, it
+    return ttau, tnu, nlZ, it, (out[2], out[3], out[4])
 
 
 def _frozen(functor):
@@ -228,9 +228,9 @@ def _lowrank_presolve(K, m, lik, y, ttau0, tnu0, rank):
         Lpc, _ = pivoted_cholesky(row_fn, jnp.diag(K), rank)
         D = jnp.maximum(jnp.diag(K) - jnp.sum(Lpc * Lpc, axis=0), 1e-10)
         pre_ops = FITCOps(D=D, V=Lpc)
-        t, v, _, _ = _ep_sweeps(pre_ops, lax.stop_gradient(m),
-                                _frozen(lik), lax.stop_gradient(y),
-                                ttau0, tnu0)
+        t, v, _, _, _ = _ep_sweeps(pre_ops, lax.stop_gradient(m),
+                                   _frozen(lik), lax.stop_gradient(y),
+                                   ttau0, tnu0)
         return t, v
 
     def warm(_):
@@ -240,6 +240,70 @@ def _lowrank_presolve(K, m, lik, y, ttau0, tnu0, rank):
     return lax.cond(is_cold, cold, warm, None)
 
 
+def _efs_primal(K, m, lik, y, ttau, tnu, nlZ0, sW, Lb, m0, v0):
+    return nlZ0
+
+
+def _efs_fwd(K, m, lik, y, ttau, tnu, nlZ0, sW, Lb, m0, v0):
+    return nlZ0, (K, m, lik, y, ttau, tnu, sW, Lb, m0, v0)
+
+
+def _efs_bwd(res, g):
+    from pygps_tpu.utils.tools import solve_chol
+
+    K, m, lik, y, ttau, tnu, sW, Lb, m0, v0 = res
+    # ∂nlZ/∂K = ½(A − bbᵀ), ∂nlZ/∂m = −b with b = ν̃ − A(m + Kν̃),
+    # A = sW B⁻¹ sW (GPML infEP.m F-form; derivation in the docstring of
+    # energy_fixed_sites_dense).  One n×n triangular-solve pass — the
+    # only O(n³) op of the whole backward.
+    h = m + K @ tnu
+    Ah = sW * solve_chol(Lb, sW * h)
+    bvec = tnu - Ah
+    Amat = sW[:, None] * solve_chol(Lb, jnp.diag(sW))
+    Kbar = (0.5 * g) * (Amat - jnp.outer(bvec, bvec))
+    mbar = -g * bvec
+    # likelihood-parameter cotangent: −Σ ∂lZ/∂φ at FIXED cavities
+    def lik_term(lk):
+        lZ, _, _ = lk.ep_moments(y, m0, v0)
+        return -jnp.sum(lZ)
+
+    _, lik_vjp = jax.vjp(lik_term, lik)
+    (likbar,) = lik_vjp(g)
+    z = lambda a: jnp.zeros_like(a)
+    return (Kbar, mbar, likbar, z(y), z(ttau), z(tnu),
+            jnp.zeros(()), z(sW), z(Lb), z(m0), z(v0))
+
+
+energy_fixed_sites_dense = jax.custom_vjp(_efs_primal)
+energy_fixed_sites_dense.defvjp(_efs_fwd, _efs_bwd)
+energy_fixed_sites_dense.__doc__ = """EP energy at fixed moment-matched
+sites, with the ANALYTIC fixed-point gradient instead of autodiff
+through the energy expression.
+
+At an EP fixed point the energy is stationary in the site parameters
+AND the cavity parameters (moment matching makes
+∂(Σ lZᵢ − Σ log z̃ᵢ)/∂cavity = 0), so the total hyperparameter gradient
+reduces to the partial derivative of log G (which depends on θ only
+through K and m) plus the likelihood's direct ∂lZ/∂φ term — the
+reference's closed form (GPML infEP.m; R&W eq. 5.41 generalized to
+nonzero mean):
+
+  ∂nlZ/∂K = ½(A − bbᵀ),  ∂nlZ/∂m = −b,
+  b = ν̃ − A(m + Kν̃),    A = sW B⁻¹ sW.
+
+Derivation: logG = −½ log det B + ν̃ᵀm + ½ν̃ᵀKν̃ − ½hᵀAh with
+h = m + Kν̃; ∂(−½logdetB)/∂K = −½A, ∂(½ν̃ᵀKν̃)/∂K = ½ν̃ν̃ᵀ,
+∂(−½hᵀAh)/∂K = −sym(Ah·ν̃ᵀ) + ½(Ah)(Ah)ᵀ (dA = −A dK A), which
+collapses to ½bbᵀ − ½A; nlZ = −logG-part flips the sign.
+
+vs the previous path (full autodiff through the differentiable energy):
+the forward re-factorization AND its ~2n³ VJP are replaced by the
+sweep loop's own byproducts + ONE triangular-solve pass, saving ≈ one
+sweep's worth of work per NLML+grad evaluation.  The gradients agree
+to O(site residual) — the same stationarity argument the site
+stop-gradient already relied on (inf.py:~680 'hold sites fixed')."""
+
+
 def nlml_ops(ops, m, lik, y, ttau0=None, tnu0=None):
     """Differentiable EP NLML over a prior operator (sites found without
     gradients, held fixed for the energy — valid by EP stationarity)."""
@@ -247,9 +311,32 @@ def nlml_ops(ops, m, lik, y, ttau0=None, tnu0=None):
     if ttau0 is None:
         ttau0 = jnp.zeros_like(y)
         tnu0 = jnp.zeros_like(y)
-    ttau, tnu, _, _ = _ep_sweeps(_frozen(ops), sg(m), _frozen(lik), sg(y),
-                                 sg(ttau0), sg(tnu0))
-    return _energy(ops, m, lik, y, sg(ttau), sg(tnu))
+    ttau, tnu, _, _, moments = _ep_sweeps(_frozen(ops), sg(m), _frozen(lik),
+                                          sg(y), sg(ttau0), sg(tnu0))
+    return _energy_dispatch(ops, m, lik, y, sg(ttau), sg(tnu), moments)
+
+
+def _energy_dispatch(ops, m, lik, y, ttau, tnu, moments):
+    """Dense operators route through the analytic fixed-point gradient
+    (energy_fixed_sites_dense — saves the energy re-factorization and
+    its autodiff transpose); structured (FITC) operators keep the
+    generic autodiff energy."""
+    from pygps_tpu import config
+
+    sg = lax.stop_gradient
+    if isinstance(ops, DenseOps) and config.EP_ANALYTIC_GRAD:
+        sig, mu, aux = moments
+        # cheap O(n²) forward value from the converged factorization
+        nlZ0 = sg(_energy_from(_frozen(ops), sg(m), _frozen(lik), sg(y),
+                               ttau, tnu, sig, mu, aux))
+        sW, Lb = aux
+        tau_n = jnp.maximum(1.0 / sig - ttau, 1e-10)
+        v0 = 1.0 / tau_n
+        m0 = (mu / sig - tnu) * v0
+        return energy_fixed_sites_dense(ops.K, m, lik, y, ttau, tnu,
+                                        nlZ0, sg(sW), sg(Lb), sg(m0),
+                                        sg(v0))
+    return _energy(ops, m, lik, y, ttau, tnu)
 
 
 def nlml_with_sites_ops(ops, m, lik, y, ttau0, tnu0):
@@ -257,9 +344,10 @@ def nlml_with_sites_ops(ops, m, lik, y, ttau0, tnu0):
     optimization (the reference's stateful ``last_ttau/last_tnu`` cache,
     inf.py:~500, threaded functionally through the optimizer loop)."""
     sg = lax.stop_gradient
-    ttau, tnu, _, _ = _ep_sweeps(_frozen(ops), sg(m), _frozen(lik), sg(y),
-                                 sg(ttau0), sg(tnu0))
-    return _energy(ops, m, lik, y, sg(ttau), sg(tnu)), (sg(ttau), sg(tnu))
+    ttau, tnu, _, _, moments = _ep_sweeps(_frozen(ops), sg(m), _frozen(lik),
+                                          sg(y), sg(ttau0), sg(tnu0))
+    nlZ = _energy_dispatch(ops, m, lik, y, sg(ttau), sg(tnu), moments)
+    return nlZ, (sg(ttau), sg(tnu))
 
 
 def nlml_with_sites(mean, kernel, lik, x, y, ttau0, tnu0, pre_rank=None):
@@ -313,7 +401,7 @@ def evaluate(mean, kernel, lik, x, y, ttau0=None, tnu0=None, pre_rank=None):
     if pre_rank > 0:
         ttau0, tnu0 = _lowrank_presolve(ops.K, m, lik, y, ttau0, tnu0,
                                         pre_rank)
-    ttau, tnu, nlZ, _ = _ep_sweeps(ops, m, lik, y, ttau0, tnu0)
+    ttau, tnu, nlZ, _, _ = _ep_sweeps(ops, m, lik, y, ttau0, tnu0)
     alpha, aux = _alpha_from_sites(ops, m, ttau, tnu)
     L, is_tril = ops.posterior_L(aux)
     sW = jnp.sqrt(jnp.maximum(ttau, 0.0))
@@ -337,7 +425,7 @@ def fitc_evaluate(mean, kernel, lik, x, y, ttau0=None, tnu0=None):
     if ttau0 is None:
         ttau0 = jnp.zeros_like(y)
         tnu0 = jnp.zeros_like(y)
-    ttau, tnu, nlZ, _ = _ep_sweeps(ops, m, lik, y, ttau0, tnu0)
+    ttau, tnu, nlZ, _, _ = _ep_sweeps(ops, m, lik, y, ttau0, tnu0)
     alpha, _ = _alpha_from_sites(ops, m, ttau, tnu)
     post = inducing_posterior(ops, Luu, m, alpha, ttau)
     return post, nlZ, (ttau, tnu)

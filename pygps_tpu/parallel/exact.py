@@ -34,7 +34,7 @@ from pygps_tpu.parallel.ring_gram import gram_bc
 
 
 def _factor_solve(K_bc, r, sn2, mesh_, axis, update_dtype=None,
-                  gemm_precision=None):
+                  gemm_precision=None, lookahead=False):
     """L of K̃/sn2 + ... — factor B = (K + sn2 I) directly in bc layout."""
     p, m, b, n = K_bc.shape
 
@@ -51,14 +51,15 @@ def _factor_solve(K_bc, r, sn2, mesh_, axis, update_dtype=None,
                      out_specs=P(axis), check_vma=False)
     B_bc = addI(K_bc)
     L = pcholesky(B_bc, mesh_, axis, update_dtype=update_dtype,
-                  gemm_precision=gemm_precision)
+                  gemm_precision=gemm_precision, lookahead=lookahead)
     alpha = psolve_chol(L, r, mesh_, axis)
     logdet = plogdet_chol(L, mesh_, axis)
     return L, alpha, logdet
 
 
 def make_dist_nlml_core(mesh_: Mesh, axis: str = "shard",
-                        update_dtype=None, gemm_precision=None):
+                        update_dtype=None, gemm_precision=None,
+                        lookahead=False):
     """Returns nlml_core(K_bc, m, sn2, y) -> nlZ with analytic VJP.
 
     ``update_dtype=jnp.bfloat16`` runs the Cholesky trailing-update GEMMs
@@ -73,7 +74,8 @@ def make_dist_nlml_core(mesh_: Mesh, axis: str = "shard",
         n = y.shape[0]
         r = y - mvec
         L, alpha, logdet = _factor_solve(K_bc, r, sn2, mesh_, axis,
-                                         update_dtype, gemm_precision)
+                                         update_dtype, gemm_precision,
+                                         lookahead)
         return (0.5 * jnp.dot(r, alpha) + 0.5 * logdet
                 + 0.5 * n * jnp.log(2.0 * jnp.pi))
 
@@ -81,7 +83,8 @@ def make_dist_nlml_core(mesh_: Mesh, axis: str = "shard",
         n = y.shape[0]
         r = y - mvec
         L, alpha, logdet = _factor_solve(K_bc, r, sn2, mesh_, axis,
-                                         update_dtype, gemm_precision)
+                                         update_dtype, gemm_precision,
+                                         lookahead)
         nlZ = (0.5 * jnp.dot(r, alpha) + 0.5 * logdet
                + 0.5 * n * jnp.log(2.0 * jnp.pi))
         return nlZ, (L, alpha, sn2)
@@ -151,7 +154,7 @@ class DistributedExact:
 
     def __init__(self, mesh_: Mesh | None = None, block: int = 256,
                  axis: str = "shard", precision: str = "highest",
-                 layout: str = "1d"):
+                 layout: str = "1d", lookahead: str | bool = "auto"):
         if precision not in ("highest", "high", "bf16"):
             raise ValueError(f"unknown precision {precision!r}")
         if layout not in ("1d", "2d"):
@@ -187,9 +190,17 @@ class DistributedExact:
         else:
             self.mesh = mesh_ if mesh_ is not None else pmesh.make_mesh()
             self.axis = axis
+            if lookahead == "auto":
+                # compute-ahead schedule: the panel all_gather becomes
+                # independent of the trailing GEMMs (overlappable on ICI)
+                # — a pure win only when there ARE collectives; at p=1 it
+                # costs ~6% extra dispatch/strip overhead for nothing
+                lookahead = self.mesh.devices.size > 1
+            self.lookahead = bool(lookahead)
             self._core = make_dist_nlml_core(
                 self.mesh, axis, update_dtype=self.update_dtype,
-                gemm_precision=self.gemm_precision)
+                gemm_precision=self.gemm_precision,
+                lookahead=self.lookahead)
 
     def _gram(self, kernel, x):
         if self.layout == "2d":

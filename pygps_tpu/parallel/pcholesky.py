@@ -253,7 +253,11 @@ def _pchol_local_lookahead(A, *, p, m, b, n, axis, n_col_chunks=16,
     d = lax.axis_index(axis)
     nb = m * p
     col_block = jnp.arange(n) // b
-    cw, nchunks = _chunk_geometry(n, b, n_col_chunks)
+    # chunk width pinned to the panel width: the bulk pass's past-the-strip
+    # threshold then falls exactly on a chunk boundary, so the strip's
+    # columns are never recomputed as zeros inside a wider chunk (measured
+    # +25% wall at n=32768 b=4096 with cw=4096 straddling chunks)
+    cw, nchunks = b, n // b
     pan_prec = _panel_precision(update_dtype, gemm_precision)
 
     kw = dict(p=p, m=m, b=b, n=n, axis=axis, gidx=gidx, d=d,
@@ -264,21 +268,37 @@ def _pchol_local_lookahead(A, *, p, m, b, n, axis, n_col_chunks=16,
         A, L_rows, P_cols = carry
         ns = (k + 1) * b
         # (a) strip update: the next panel's column receives panel k's
-        # trailing update first, at the same precision as the bulk path
+        # trailing update first, at the same precision as the bulk path.
+        # Row chunks entirely above the next panel skip via lax.cond
+        # (same static-suffix trick as the panel solve).
         Pc_strip = lax.dynamic_slice(P_cols, (ns, 0), (b, b))
         strip = lax.dynamic_slice(A, (0, 0, ns), (m, b, b))
         Lr = L_rows
+        Pc_s = Pc_strip
         if update_dtype is not None:
             Lr = Lr.astype(update_dtype)
             Pc_s = Pc_strip.astype(update_dtype)
-            delta = jnp.matmul(Lr.reshape(m * b, b), Pc_s.T,
-                               preferred_element_type=A.dtype
-                               ).astype(A.dtype)
-        else:
-            delta = jnp.matmul(Lr.reshape(m * b, b), Pc_strip.T,
-                               precision=gemm_precision,
-                               preferred_element_type=A.dtype
-                               ).astype(A.dtype)
+        nmc = min(4, m) if m % min(4, m) == 0 else 1
+        rows_per = m // nmc
+        Lf = Lr.reshape(m * b, b)
+        parts = []
+        for c in range(nmc):
+            hi_gidx = gidx[(c + 1) * rows_per - 1]
+            Lc = Lf[c * rows_per * b:(c + 1) * rows_per * b]
+
+            def strip_chunk(ops):
+                Lc_, P_ = ops
+                return jnp.matmul(
+                    Lc_, P_.T,
+                    precision=(None if update_dtype is not None
+                               else gemm_precision),
+                    preferred_element_type=A.dtype).astype(A.dtype)
+
+            parts.append(lax.cond(
+                hi_gidx > k, strip_chunk,
+                lambda ops: jnp.zeros((rows_per * b, b), A.dtype),
+                (Lc, Pc_s)))
+        delta = jnp.concatenate(parts, axis=0)
         strip = strip - delta.reshape(m, b, b)
         A = lax.dynamic_update_slice(A, strip, (0, 0, ns))
         # (b) factor panel k+1 — its all_gather result is consumed only

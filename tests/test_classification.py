@@ -103,6 +103,37 @@ def test_ep_grad_matches_fd():
         assert np.isclose(float(g[i]), float(fd), rtol=2e-2, atol=1e-5), i
 
 
+def test_ep_analytic_grad_matches_autodiff():
+    """The analytic fixed-point gradient (energy_fixed_sites_dense,
+    GPML F-form) vs full autodiff through the differentiable energy —
+    both valid at the EP fixed point, agreeing to O(site residual).
+    Uses a Gauss likelihood too, exercising the lik-parameter term."""
+    from jax.flatten_util import ravel_pytree
+    from pygps_tpu import config
+    from pygps_tpu.inference import ep
+
+    x, y = two_clusters(n_per=8, seed=11)
+    xj, yj = jnp.asarray(x), jnp.asarray(y)
+    for lik in (pg.lik.Erf(), pg.lik.Gauss(-0.8)):
+        mean, kern = pg.mean.Const(0.1), pg.cov.RBF(0.25, 0.15)
+        theta, unravel = ravel_pytree((mean, kern, lik))
+
+        def f(t):
+            m, k, l = unravel(t)
+            return ep.nlml(m, k, l, xj, yj)
+
+        try:
+            config.EP_ANALYTIC_GRAD = True
+            v_fast, g_fast = jax.value_and_grad(f)(theta)
+            config.EP_ANALYTIC_GRAD = False
+            v_ref, g_ref = jax.value_and_grad(f)(theta)
+        finally:
+            config.EP_ANALYTIC_GRAD = True
+        assert np.isclose(float(v_fast), float(v_ref), rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
+                                   rtol=2e-3, atol=1e-6)
+
+
 def test_gpmc_three_classes():
     rng = np.random.default_rng(5)
     centers = np.array([[2.0, 0.0], [-1.0, 2.0], [-1.0, -2.0]])

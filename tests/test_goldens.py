@@ -12,6 +12,7 @@ import json
 from pathlib import Path
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -70,3 +71,26 @@ def test_gradient_golden():
     theta, unravel = ravel_pytree((MEAN, pg.cov.RBF(0.3, 0.2), LIK))
     grad = jax.grad(lambda t: exact.nlml(*unravel(t), X, Y))(theta)
     assert np.allclose(np.asarray(grad), GOLD["exact_grad_rbf"], rtol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# VERBATIM reference parity — active the moment a real capture exists
+# ---------------------------------------------------------------------------
+
+_REF_GOLD = Path(__file__).parent / "goldens" / "goldens_reference.json"
+
+
+@pytest.mark.skipif(not _REF_GOLD.exists(),
+                    reason="no verbatim reference capture yet — run "
+                           "tools/capture_reference_goldens.py when "
+                           "/root/reference is populated (the harness "
+                           "itself is exercised by test_capture_harness)")
+def test_verbatim_reference_parity():
+    """Compare against goldens captured VERBATIM from the reference
+    package (BASELINE.md parity rows).  The self-generated regression
+    pins above catch drift; this is the real parity evidence."""
+    from pygps_tpu.utils import refcapture
+
+    gold = json.load(open(_REF_GOLD))
+    fails = refcapture.compare_against_ours(gold)
+    assert not fails, fails
