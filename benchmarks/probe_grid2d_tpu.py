@@ -46,38 +46,45 @@ def timed(name, fn, *a, reps=3):
           flush=True)
 
 
-def main(n=8192, block=1024):
+def main(n=8192, block=1024, precision="bf16", factor_only=False):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((n, 8)), jnp.float32)
     y = jnp.asarray(np.sin(np.asarray(x)[:, 0]), jnp.float32)
     kern = pg.cov.RBF(jnp.asarray(0.5, jnp.float32),
                       jnp.asarray(0.0, jnp.float32))
     mean, lik = pg.mean.Zero(), pg.lik.Gauss(jnp.asarray(-1.0, jnp.float32))
+    upd = jnp.bfloat16 if precision == "bf16" else None
+    gp = jax.lax.Precision.HIGH if precision == "high" else None
 
     grid = make_grid_mesh(1, 1)
-    eng2 = DistributedExact(grid, block=block, layout="2d",
-                            precision="bf16")
-    eng1 = DistributedExact(pmesh.make_mesh(1), block=block,
-                            precision="bf16")
-
-    for tag, eng in (("2d", eng2), ("1d", eng1)):
-        vg = jax.jit(jax.value_and_grad(
-            lambda k, eng=eng: eng.nlml(mean, k, lik, x, y)))
-        timed(f"nlml_grad_{tag}_n{n}_b{block}", vg, kern, reps=2)
-
     from pygps_tpu.parallel import pcholesky2d as p2
     from pygps_tpu.parallel.exact2d import gram_bc2d, pinv_chol2d
 
     K2 = jax.jit(lambda: gram_bc2d(kern, x, grid, block,
-                                   noise_diag=jnp.asarray(1.0,
+                                   noise_diag=jnp.asarray(0.135,
                                                           jnp.float32)))()
-    chol2 = jax.jit(lambda K: p2.pcholesky2d(K, grid,
-                                             update_dtype=jnp.bfloat16))
+    chol2 = jax.jit(lambda K: p2.pcholesky2d(K, grid, update_dtype=upd,
+                                             gemm_precision=gp))
     L2 = chol2(K2)
-    timed(f"pchol2d_n{n}_b{block}", chol2, K2)
-    timed(f"pinv2d_n{n}_b{block}",
-          jax.jit(lambda L: pinv_chol2d(L, grid,
-                                        update_dtype=jnp.bfloat16)), L2)
+    finite = bool(jax.jit(lambda L: jnp.isfinite(L).all())(L2))
+    timed(f"pchol2d_n{n}_b{block}_{precision}_finite{finite}", chol2, K2)
+    if factor_only:
+        del K2, L2
+    else:
+        timed(f"pinv2d_n{n}_b{block}_{precision}",
+              jax.jit(lambda L: pinv_chol2d(L, grid, update_dtype=upd,
+                                            gemm_precision=gp)), L2)
+        del K2, L2
+
+    eng2 = DistributedExact(grid, block=block, layout="2d",
+                            precision=precision)
+    eng1 = DistributedExact(pmesh.make_mesh(1), block=block,
+                            precision=precision)
+    for tag, eng in (("2d", eng2), ("1d", eng1)):
+        vg = jax.jit(jax.value_and_grad(
+            lambda k, eng=eng: eng.nlml(mean, k, lik, x, y)))
+        timed(f"nlml_grad_{tag}_n{n}_b{block}_{precision}", vg, kern,
+              reps=2)
 
 
 if __name__ == "__main__":
@@ -86,5 +93,9 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8192)
     ap.add_argument("--block", type=int, default=1024)
+    ap.add_argument("--precision", default="bf16",
+                    choices=["bf16", "high", "highest"])
+    ap.add_argument("--factor-only", action="store_true",
+                    help="skip inverse + engine NLML (memory-tight n)")
     a = ap.parse_args()
-    main(a.n, a.block)
+    main(a.n, a.block, a.precision, a.factor_only)

@@ -1,0 +1,198 @@
+"""Beyond-HBM demonstration: matrix-free NLML+grad at n=65536 on ONE chip.
+
+Round-3 verdict missing #2: the iterative engine's claimed niche
+(n ≳ 50k/chip, where the dense n×n Gram no longer fits 16 GB HBM) had
+never been demonstrated.  This probe runs `parallel/piterative.py`
+(K never materialized — Gram tiles computed on the fly inside the CG /
+Lanczos matvec) at n=65536 on the real v5e and anchors accuracy THREE
+ways, none requiring a dense n=65k factorization:
+
+1. **Exact anchor at n=65536**: a rank-128 Linear kernel + noise, whose
+   NLML and ∂nlZ/∂log_sn have CLOSED Woodbury forms (computed numpy
+   f64 on the host) — validates the full CG+SLQ+preconditioner+gradient
+   machinery at the target scale exactly.
+2. **Dense-anchored trend**: the same RBF config measured at n=16384
+   and n=32768 against the on-chip dense NLML (those sizes still fit),
+   so the n=65536 RBF error is an extrapolation of a measured trend,
+   stated as such.
+3. **Posterior-mean check at n=65536**: CG is exact-to-tolerance, so
+   ‖K̃·alpha − r‖/‖r‖ is a direct residual certificate.
+
+Also reports wall-clock and the device HBM peak (memory_stats) —
+the artifact that the 17 GB dense Gram regime runs in O(n·probes).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).resolve().parent.parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+import pygps_tpu as pg
+from pygps_tpu.parallel import mesh as pmesh
+from pygps_tpu.parallel.piterative import DistributedIterative
+
+
+def hbm_peak_gib():
+    try:
+        st = jax.local_devices()[0].memory_stats()
+        return round(st.get("peak_bytes_in_use", 0) / 2**30, 2)
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def make_rbf_problem(n, d=8, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    y = jnp.asarray(np.sin(np.asarray(x)[:, 0])
+                    + 0.1 * rng.standard_normal(n), jnp.float32)
+    return x, y
+
+
+def dense_nlz(mean, kern, lik, x, y):
+    K = kern.Ktrain(x)
+    sn2 = jnp.exp(2.0 * lik.log_sigma)
+    n = y.shape[0]
+    i = jnp.arange(n)
+    L = jnp.linalg.cholesky(K.at[i, i].add(sn2))
+    r = y - mean(x)
+    a = jax.scipy.linalg.cho_solve((L, True), r)
+    return (0.5 * jnp.dot(r, a) + jnp.sum(jnp.log(jnp.diag(L)))
+            + 0.5 * n * jnp.log(2.0 * jnp.pi))
+
+
+def woodbury_exact(Xf, y, sf2, sn2):
+    """Exact NLML for K̃ = sf2·X Xᵀ + sn2·I (numpy f64, O(n·D²))."""
+    X = np.asarray(Xf, np.float64)
+    yv = np.asarray(y, np.float64)
+    n, D = X.shape
+    G = sn2 * np.eye(D) + sf2 * (X.T @ X)
+    Lg = np.linalg.cholesky(G)
+    logdet = (n - D) * np.log(sn2) + 2.0 * np.log(np.diag(Lg)).sum()
+    t = np.linalg.solve(G, X.T @ yv)
+    quad = (yv @ yv - sf2 * (X.T @ yv) @ t) / sn2
+    return 0.5 * quad + 0.5 * logdet + 0.5 * n * np.log(2 * np.pi)
+
+
+def run_rbf(n, eng, anchor=True):
+    x, y = make_rbf_problem(n)
+    mean, kern, lik = (pg.mean.Zero(), pg.cov.RBF(0.3, 0.0),
+                       pg.lik.Gauss(-1.0))
+    ref = None
+    if anchor:
+        ref = float(jax.jit(dense_nlz)(mean, kern, lik, x, y))
+
+    f = jax.jit(lambda x_, y_: eng.nlml(mean, kern, lik, x_, y_))
+    v = f(x, y)
+    float(v)
+    t0 = time.perf_counter()
+    v = f(x, y)
+    float(v)
+    dt_f = time.perf_counter() - t0
+
+    def obj(ls):
+        return eng.nlml(mean, kern, pg.lik.Gauss(ls), x, y)
+
+    g = jax.jit(jax.value_and_grad(obj))
+    out = g(jnp.asarray(-1.0, jnp.float32))
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = g(jnp.asarray(-1.0, jnp.float32))
+    jax.block_until_ready(out)
+    dt_g = time.perf_counter() - t0
+
+    rec = {"probe": f"piter_rbf_n{n}", "fwd_s": round(dt_f, 2),
+           "nlml_grad_s": round(dt_g, 2), "nlz": round(float(v), 2),
+           "hbm_peak_gib": hbm_peak_gib()}
+    if ref is not None:
+        rec["rel_err_nlz"] = round(abs(float(v) - ref) / abs(ref), 6)
+        rec["dense_ref"] = round(ref, 2)
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def run_linear_exact(n, eng, D=128):
+    """Exact Woodbury anchor at full scale (rank-D spike + noise
+    spectrum — the structure the preconditioned SLQ must resolve)."""
+    rng = np.random.default_rng(1)
+    Xf = rng.standard_normal((n, D)).astype(np.float32) / np.sqrt(D)
+    w = rng.standard_normal(D)
+    y = (np.asarray(Xf, np.float64) @ w
+         + 0.3 * rng.standard_normal(n)).astype(np.float32)
+    x = jnp.asarray(Xf)
+    yj = jnp.asarray(y)
+    mean, kern, lik = pg.mean.Zero(), pg.cov.Linear(0.0), pg.lik.Gauss(-1.0)
+    sf2, sn2 = 1.0, float(np.exp(-2.0))
+    ref = woodbury_exact(Xf, y, sf2, sn2)
+
+    f = jax.jit(lambda x_, y_: eng.nlml(mean, kern, lik, x_, y_))
+    v = f(x, yj)
+    float(v)
+    t0 = time.perf_counter()
+    v = f(x, yj)
+    float(v)
+    dt = time.perf_counter() - t0
+
+    # gradient anchor: d nlZ / d log_sn via central FD of the exact form
+    eps = 1e-4
+    fd = (woodbury_exact(Xf, y, sf2, float(np.exp(2 * (-1 + eps))))
+          - woodbury_exact(Xf, y, sf2,
+                           float(np.exp(2 * (-1 - eps))))) / (2 * eps)
+    gfun = jax.jit(jax.grad(
+        lambda ls: eng.nlml(mean, kern, pg.lik.Gauss(ls), x, yj)))
+    gv = float(gfun(jnp.asarray(-1.0, jnp.float32)))
+
+    # CG residual certificate for the posterior mean at scale
+    alpha, it, res = eng.posterior_mean_alpha(mean, kern, lik, x, yj)
+    print(json.dumps({
+        "probe": f"piter_linear_exact_n{n}_D{D}",
+        "rel_err_nlz": round(abs(float(v) - ref) / abs(ref), 8),
+        "nlz": round(float(v), 2), "exact_ref": round(ref, 2),
+        "grad_log_sn": round(gv, 4), "grad_fd_exact": round(fd, 4),
+        "rel_err_grad": round(abs(gv - fd) / (abs(fd) + 1e-12), 6),
+        "fwd_s": round(dt, 2), "cg_iters": int(it),
+        "cg_rel_residual": float(res),
+        "hbm_peak_gib": hbm_peak_gib(),
+    }), flush=True)
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lanczos", type=int, default=96)
+    ap.add_argument("--rank", type=int, default=512)
+    ap.add_argument("--probes", type=int, default=16)
+    ap.add_argument("--chunks", type=int, default=16)
+    ap.add_argument("--stage", choices=["trend", "65k", "all"],
+                    default="all")
+    args = ap.parse_args()
+
+    mesh = pmesh.make_mesh(1)
+    eng = DistributedIterative(
+        mesh_=mesh, col_chunks=args.chunks, cg_tol=1e-4, cg_iters=512,
+        num_probes=args.probes, lanczos_iters=args.lanczos,
+        precond_rank=args.rank)
+
+    if args.stage in ("trend", "all"):
+        for n in (16384, 32768):
+            run_rbf(n, eng, anchor=True)
+    if args.stage in ("65k", "all"):
+        run_linear_exact(65536, eng)
+        run_rbf(65536, eng, anchor=False)
+
+
+if __name__ == "__main__":
+    main()

@@ -477,6 +477,16 @@ class SM(Kernel):
         w = jnp.exp(self.log_w)          # (Q,)
         mu = jnp.exp(self.log_mean)      # (Q, D)
         v = jnp.exp(self.log_var)        # (Q, D)
+        # large outputs: the einsum path's (n, m, Q, D) cos intermediate
+        # is the biggest transient in the zoo (8.6 GB at n=8192 Q=4 D=8)
+        # — route through the fused Pallas tile on TPU / the O(n·m)
+        # checkpointed scan elsewhere (ops/sm_pallas.py)
+        if (x.ndim == 2 and z.ndim == 2
+                and (_fused_enabled(x, z)
+                     or x.shape[0] * z.shape[0] >= _FUSED_AUTO_MIN_ELEMS)):
+            from pygps_tpu.ops.sm_pallas import sm_gram
+
+            return sm_gram(x, z, w, mu, v)
         tau = x[:, None, :] - z[None, :, :]           # (n, m, D)
         # decay: exp of a sum over dims — a single einsum, (n, m, Q)
         decay = jnp.exp(-2.0 * jnp.pi ** 2 *

@@ -92,6 +92,49 @@ def test_fused_periodic():
     assert np.allclose(out_i, ref, atol=1e-4)
 
 
+def test_sm_lean_and_pallas_match_einsum():
+    """sm_gram (lean scan / interpret-mode Pallas tile) vs the einsum SM
+    path, values and hyperparameter gradients."""
+    from jax.flatten_util import ravel_pytree
+
+    from pygps_tpu.ops import sm_pallas as sp
+
+    rng = np.random.default_rng(3)
+    Q, D = 3, 4
+    x = jnp.asarray(rng.standard_normal((48, D)), jnp.float32)
+    z = jnp.asarray(rng.standard_normal((32, D)), jnp.float32)
+    kern = pg.cov.SM(log_w=0.1 * rng.standard_normal(Q),
+                     log_mean=0.2 * rng.standard_normal((Q, D)),
+                     log_var=0.3 * rng.standard_normal((Q, D)),
+                     Q=Q, D=D)
+    w = jnp.exp(kern.log_w)
+    mu = jnp.exp(kern.log_mean)
+    v = jnp.exp(kern.log_var)
+    # einsum reference (below the size threshold, so _cross is einsum)
+    ref = np.asarray(kern._cross(x, z))
+    lean = np.asarray(sp._xla_sm_lean(x, z, w, mu, v))
+    assert np.allclose(lean, ref, atol=1e-5)
+    tile = np.asarray(sp._pallas_sm(x, z, w, mu, v, interpret=True))
+    assert np.allclose(tile, ref, atol=1e-4)
+
+    # gradients: sm_gram custom_vjp vs autodiff of the einsum path
+    theta, unravel = ravel_pytree(kern)
+
+    def loss_fused(t):
+        k = unravel(t)
+        return jnp.sum(sp.sm_gram(x, z, jnp.exp(k.log_w),
+                                  jnp.exp(k.log_mean),
+                                  jnp.exp(k.log_var)) ** 2)
+
+    def loss_ref(t):
+        return jnp.sum(unravel(t)._cross(x, z) ** 2)
+
+    gf = jax.grad(loss_fused)(theta)
+    gr = jax.grad(loss_ref)(theta)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_fused_composites_route_through_children():
     """Sum/Product dispatch to child kernels, whose _cross uses the fused
     path when enabled — composites of supported families are covered."""
