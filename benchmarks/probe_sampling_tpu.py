@@ -147,10 +147,47 @@ def iterative_probe():
             "nlZ": float(v)}
 
 
+@probe("nuts_tuning_sweep")
+def nuts_sweep_probe():
+    """Round-3 verdict weak 6: sampler perf characterization — depth ×
+    chunk_size at n=1024, 256 chains, reporting transitions/s AND
+    min-bulk-ESS/s (the honest metric).  n=1024 keeps the sweep's TPU
+    budget bounded; bench.py carries the n=2048 headline."""
+    import pygps_tpu as pg
+    from pygps_tpu.inference.diagnostics import ess
+
+    rng = np.random.default_rng(0)
+    n, chains, warm, draws = 1024, 256, 16, 16
+    x = rng.standard_normal((n, 4)).astype(np.float32)
+    y = (np.sin(x[:, 0]) + 0.1 * rng.standard_normal(n)).astype(np.float32)
+    m = pg.GPR()
+    m.setData(jnp.asarray(x), jnp.asarray(y))
+    rows = []
+    for depth, chunk in ((3, 8), (4, 8), (5, 8), (4, 4), (4, 16)):
+        m.sample(num_samples=draws, num_warmup=warm, num_chains=chains,
+                 seed=0, max_depth=depth, chunk_size=chunk)  # compile
+        t0 = time.perf_counter()
+        s, stats = m.sample(num_samples=draws, num_warmup=warm,
+                            num_chains=chains, seed=1, max_depth=depth,
+                            chunk_size=chunk)
+        jax.block_until_ready(s)
+        wall = time.perf_counter() - t0
+        me = float(jnp.min(ess(s)))
+        rows.append({
+            "depth": depth, "chunk": chunk, "wall_s": round(wall, 2),
+            "transitions_per_s": round((warm + draws) * chains / wall, 1),
+            "min_ess": round(me, 1),
+            "ess_per_s": round(me / wall, 2),
+            "accept": round(float(np.asarray(stats["accept_prob"]).mean()),
+                            3),
+        })
+    return {"n": n, "chains": chains, "rows": rows}
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     table = {"nuts": nuts_probe, "fitc": fitc_probe,
-             "iterative": iterative_probe}
+             "iterative": iterative_probe, "nuts_sweep": nuts_sweep_probe}
     if which == "all":
         for fn in table.values():
             fn()
