@@ -7,10 +7,17 @@ never been demonstrated.  This probe runs `parallel/piterative.py`
 Lanczos matvec) at n=65536 on the real v5e and anchors accuracy THREE
 ways, none requiring a dense n=65k factorization:
 
-1. **Exact anchor at n=65536**: a rank-128 Linear kernel + noise, whose
-   NLML and ∂nlZ/∂log_sn have CLOSED Woodbury forms (computed numpy
-   f64 on the host) — validates the full CG+SLQ+preconditioner+gradient
-   machinery at the target scale exactly.
+1. **Exact anchor at n=65536**: the Periodic kernel on a UNIFORM 1-D
+   grid with period = domain length is exactly CIRCULANT, so its NLML
+   (and ∂nlZ/∂log_sn) has a closed FFT form — computed numpy f64 on the
+   host in O(n log n) — validating the full CG + SLQ + preconditioner +
+   gradient machinery at the target scale against an exact value, on a
+   realistic smoothly-decaying spectrum.  (A finite-rank Linear-kernel
+   Woodbury anchor was tried first and rejected: XLA's dot merger
+   re-associates the streamed linear tiles back into one x·xᵀ
+   (n, n) dot — for finite-rank kernels the closed Woodbury path is the
+   right tool anyway; the streaming engine's niche is the nonlinear
+   stationary zoo, whose tiles cannot merge.)
 2. **Dense-anchored trend**: the same RBF config measured at n=16384
    and n=32768 against the on-chip dense NLML (those sizes still fit),
    so the n=65536 RBF error is an extrapolation of a measured trend,
@@ -73,17 +80,16 @@ def dense_nlz(mean, kern, lik, x, y):
             + 0.5 * n * jnp.log(2.0 * jnp.pi))
 
 
-def woodbury_exact(Xf, y, sf2, sn2):
-    """Exact NLML for K̃ = sf2·X Xᵀ + sn2·I (numpy f64, O(n·D²))."""
-    X = np.asarray(Xf, np.float64)
-    yv = np.asarray(y, np.float64)
-    n, D = X.shape
-    G = sn2 * np.eye(D) + sf2 * (X.T @ X)
-    Lg = np.linalg.cholesky(G)
-    logdet = (n - D) * np.log(sn2) + 2.0 * np.log(np.diag(Lg)).sum()
-    t = np.linalg.solve(G, X.T @ yv)
-    quad = (yv @ yv - sf2 * (X.T @ yv) @ t) / sn2
-    return 0.5 * quad + 0.5 * logdet + 0.5 * n * np.log(2 * np.pi)
+def circulant_exact(n, ell, sn2, y):
+    """Exact NLML for the circulant K̃ = C + sn2·I, C the Periodic-kernel
+    Gram on the uniform grid x_i = i/n with period 1 (numpy f64,
+    O(n log n)): c_j = exp(−2 sin²(π j/n)/ℓ²), eig = Re FFT(c)."""
+    j = np.arange(n)
+    c = np.exp(-2.0 * np.sin(np.pi * j / n) ** 2 / ell**2)
+    lam = np.real(np.fft.fft(c)) + sn2
+    Fy = np.fft.fft(np.asarray(y, np.float64))
+    quad = float(np.sum((Fy * np.conj(Fy)).real / lam)) / n
+    return 0.5 * quad + 0.5 * np.log(lam).sum() + 0.5 * n * np.log(2 * np.pi)
 
 
 def run_rbf(n, eng, anchor=True):
@@ -123,19 +129,20 @@ def run_rbf(n, eng, anchor=True):
     return rec
 
 
-def run_linear_exact(n, eng, D=128):
-    """Exact Woodbury anchor at full scale (rank-D spike + noise
-    spectrum — the structure the preconditioned SLQ must resolve)."""
+def run_circulant_exact(n, eng, ell=0.03):
+    """Exact FFT anchor at full scale: Periodic kernel on the uniform
+    grid over [0, 1) with period 1 → circulant Gram, closed-form NLML."""
     rng = np.random.default_rng(1)
-    Xf = rng.standard_normal((n, D)).astype(np.float32) / np.sqrt(D)
-    w = rng.standard_normal(D)
-    y = (np.asarray(Xf, np.float64) @ w
-         + 0.3 * rng.standard_normal(n)).astype(np.float32)
-    x = jnp.asarray(Xf)
-    yj = jnp.asarray(y)
-    mean, kern, lik = pg.mean.Zero(), pg.cov.Linear(0.0), pg.lik.Gauss(-1.0)
-    sf2, sn2 = 1.0, float(np.exp(-2.0))
-    ref = woodbury_exact(Xf, y, sf2, sn2)
+    x = jnp.asarray((np.arange(n) / n).astype(np.float32)[:, None])
+    y_np = (np.sin(6 * np.pi * np.arange(n) / n)
+            + 0.3 * rng.standard_normal(n))
+    yj = jnp.asarray(y_np.astype(np.float32))
+    log_sn = -1.0
+    sn2 = float(np.exp(2 * log_sn))
+    mean = pg.mean.Zero()
+    kern = pg.cov.Periodic(float(np.log(ell)), 0.0, 0.0)
+    lik = pg.lik.Gauss(log_sn)
+    ref = circulant_exact(n, ell, sn2, y_np)
 
     f = jax.jit(lambda x_, y_: eng.nlml(mean, kern, lik, x_, y_))
     v = f(x, yj)
@@ -147,17 +154,17 @@ def run_linear_exact(n, eng, D=128):
 
     # gradient anchor: d nlZ / d log_sn via central FD of the exact form
     eps = 1e-4
-    fd = (woodbury_exact(Xf, y, sf2, float(np.exp(2 * (-1 + eps))))
-          - woodbury_exact(Xf, y, sf2,
-                           float(np.exp(2 * (-1 - eps))))) / (2 * eps)
+    fd = (circulant_exact(n, ell, float(np.exp(2 * (log_sn + eps))), y_np)
+          - circulant_exact(n, ell, float(np.exp(2 * (log_sn - eps))),
+                            y_np)) / (2 * eps)
     gfun = jax.jit(jax.grad(
         lambda ls: eng.nlml(mean, kern, pg.lik.Gauss(ls), x, yj)))
-    gv = float(gfun(jnp.asarray(-1.0, jnp.float32)))
+    gv = float(gfun(jnp.asarray(log_sn, jnp.float32)))
 
     # CG residual certificate for the posterior mean at scale
     alpha, it, res = eng.posterior_mean_alpha(mean, kern, lik, x, yj)
     print(json.dumps({
-        "probe": f"piter_linear_exact_n{n}_D{D}",
+        "probe": f"piter_circulant_exact_n{n}_ell{ell}",
         "rel_err_nlz": round(abs(float(v) - ref) / abs(ref), 8),
         "nlz": round(float(v), 2), "exact_ref": round(ref, 2),
         "grad_log_sn": round(gv, 4), "grad_fd_exact": round(fd, 4),
@@ -190,7 +197,7 @@ def main():
         for n in (16384, 32768):
             run_rbf(n, eng, anchor=True)
     if args.stage in ("65k", "all"):
-        run_linear_exact(65536, eng)
+        run_circulant_exact(65536, eng)
         run_rbf(65536, eng, anchor=False)
 
 
