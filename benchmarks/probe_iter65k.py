@@ -129,9 +129,18 @@ def run_rbf(n, eng, anchor=True):
     return rec
 
 
-def run_circulant_exact(n, eng, ell=0.03):
+def run_circulant_exact(n, eng, ell=0.1):
     """Exact FFT anchor at full scale: Periodic kernel on the uniform
-    grid over [0, 1) with period 1 → circulant Gram, closed-form NLML."""
+    grid over [0, 1) with period 1 → circulant Gram, closed-form NLML.
+
+    Runs with the fused Pallas Gram DISABLED: the periodic-kind Pallas
+    tile on d=1 inputs, invoked thousands of times inside the CG/Lanczos
+    while loops at n=65536, reproducibly faults the TPU worker
+    ("kernel fault") even though the same kernel passes isolated-shape
+    tests — not yet root-caused; the XLA tile path is used here, and
+    the RBF n=65536 case (d=8) exercises the Pallas path at scale
+    without issue."""
+    pg.cov.use_fused_gram(False)
     rng = np.random.default_rng(1)
     x = jnp.asarray((np.arange(n) / n).astype(np.float32)[:, None])
     y_np = (np.sin(6 * np.pi * np.arange(n) / n)
@@ -173,6 +182,7 @@ def run_circulant_exact(n, eng, ell=0.03):
         "cg_rel_residual": float(res),
         "hbm_peak_gib": hbm_peak_gib(),
     }), flush=True)
+    pg.cov.use_fused_gram(None)   # restore the auto heuristic
 
 
 def main():
@@ -197,7 +207,17 @@ def main():
         for n in (16384, 32768):
             run_rbf(n, eng, anchor=True)
     if args.stage in ("65k", "all"):
-        run_circulant_exact(65536, eng)
+        # dedicated shallower config for the anchor: rank-512 covers ALL
+        # ~100 significant circulant modes, so the preconditioned
+        # spectrum is ~flat and 32 Lanczos steps suffice; the deep
+        # config's 96 sequential matvecs (~0.25 s each on the XLA d=1
+        # periodic tiles) push the single nlml dispatch past the axon
+        # tunnel's per-execution limit and fault the worker (observed
+        # repeatedly; the 21 s RBF dispatch is just under it).
+        eng_anchor = DistributedIterative(
+            mesh_=mesh, col_chunks=args.chunks, cg_tol=1e-4, cg_iters=64,
+            num_probes=args.probes, lanczos_iters=32, precond_rank=512)
+        run_circulant_exact(65536, eng_anchor)
         run_rbf(65536, eng, anchor=False)
 
 

@@ -48,12 +48,20 @@ def cg_solve(matvec: Callable, B: jax.Array, tol: float = 1e-8,
         X, R, P, rz, it = state
         AP = matvec(P)
         pAp = jnp.sum(P * AP, axis=0)
-        alpha = rz / jnp.where(pAp <= 0, 1e-30, pAp)
+        # f32 breakdown guard: near convergence pAp/rz round to ≤ 0; the
+        # old 1e-30-denominator guard turned that into alpha ≈ 1e35 and
+        # overflowed the iterate (measured: NaN at n=65536 after the
+        # preconditioner converged a column in 4 iterations).  FREEZE the
+        # affected column instead (alpha = beta = 0) — it simply stops
+        # improving, and the while cond/max_iters bound the loop.
+        ok_a = pAp > 0
+        alpha = jnp.where(ok_a, rz / jnp.where(ok_a, pAp, 1.0), 0.0)
         X = X + alpha[None, :] * P
         R = R - alpha[None, :] * AP
         Z = precond(R)
         rz_new = jnp.sum(R * Z, axis=0)
-        beta = rz_new / jnp.where(rz <= 0, 1e-30, rz)
+        ok_b = rz > 0
+        beta = jnp.where(ok_b, rz_new / jnp.where(ok_b, rz, 1.0), 0.0)
         P = Z + beta[None, :] * P
         return X, R, P, rz_new, it + 1
 

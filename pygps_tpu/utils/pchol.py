@@ -74,17 +74,27 @@ def woodbury_preconditioner(L: jax.Array, sn2):
     M = G + sn2 * jnp.eye(k, dtype=L.dtype)
     Lm = jnp.linalg.cholesky(M)
 
-    def apply_inv(R):
-        return (R - L.T @ jax.scipy.linalg.cho_solve((Lm, True), L @ R)) / sn2
-
-    # symmetric inverse square root: LLᵀ = U Λ Uᵀ; the λ>0 eigenvectors of
-    # LᵀL are V = Lᵀ U Λ^{-1/2}; P^{-1/2} = (I + V(√(sn2/(λ+sn2))−1)Vᵀ)/√sn2
+    # eigendecomposition LLᵀ = U Λ Uᵀ; the λ>0 eigenvectors of LᵀL are
+    # V = Lᵀ U Λ^{-1/2}.  BOTH applications below use the spectral
+    # projection form rather than the cho_solve Woodbury identity
+    # (R − Lᵀ M⁻¹ L R)/sn2: when λ_max ≫ sn2 that form subtracts two
+    # nearly-equal ~R/sn2-scale terms, and its f32 cancellation error
+    # (relative error ~ eps·λ_max/sn2, measured ~1e-3 at λ_max/sn2≈6000)
+    # breaks preconditioned CG's SPD inner products — the n=65536
+    # circulant anchor NaN'd through exactly this.  The projection form's
+    # error stays ~eps·‖R‖ absolute.
     lam, U = jnp.linalg.eigh(G)
     good = lam > 1e-12 * jnp.maximum(jnp.max(lam), 1e-30)
     inv_sqrt_lam = jnp.where(good, 1.0 / jnp.sqrt(jnp.maximum(lam, 1e-30)),
                              0.0)
     V = L.T @ (U * inv_sqrt_lam[None, :])                # (n, k)
     c = jnp.where(good, jnp.sqrt(sn2 / (lam + sn2)) - 1.0, 0.0)
+    ci = jnp.where(good, sn2 / (lam + sn2) - 1.0, 0.0)
+
+    def apply_inv(R):
+        # P⁻¹R = [R + V(sn2/(λ+sn2) − 1)VᵀR]/sn2
+        #      = V (VᵀR)/(λ+sn2) + (R − V VᵀR)/sn2
+        return (R + V @ (ci[:, None] * (V.T @ R))) / sn2
 
     def apply_inv_sqrt(R):
         return (R + V @ (c[:, None] * (V.T @ R))) / jnp.sqrt(sn2)
