@@ -81,6 +81,12 @@ def _fused_enabled(x=None, z=None):
     mode = _FUSED_GRAM["enabled"]
     if mode is False or not _on_tpu():
         return False
+    if (x is not None and x.ndim == 2 and x.shape[-1] == 1):
+        # correctness guard, even when forced on: the tile's
+        # norm-expansion distance cancels catastrophically for 1-D
+        # inputs with close points (see utils.tools.sq_dist's exact
+        # d=1 path, which the XLA route uses instead)
+        return False
     if mode is True:
         return True
     # auto: pay the Pallas launch only when the tile grid is big enough

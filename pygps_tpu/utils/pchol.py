@@ -43,7 +43,15 @@ def pivoted_cholesky(row_fn: Callable, diag: jax.Array, rank: int):
         row = row_fn(p)                                   # (n,)
         lp = lax.dynamic_slice(L, (0, p), (rank, 1))[:, 0]  # L[:, p]
         num = row - lp @ L                # rows ≥ i are zero ⇒ sums j < i
-        ok = dp > 1e-12 * dmax0
+        # dtype-aware degeneracy cutoff: the old fixed 1e-12·dmax0 is
+        # f64-scaled — in f32 the residual diagonal bottoms out at
+        # ~eps·dmax ≈ 1e-7·dmax of accumulated-subtraction noise, and
+        # pivots below that produce noise/√tiny garbage rows (measured:
+        # a rank-512 factor of a numerical-rank-99 circulant kernel
+        # degraded the Woodbury preconditioner until CG stalled at
+        # rel-residual 0.18).  Excess ranks now yield exact-zero rows.
+        tol = 32.0 * jnp.finfo(diag.dtype).eps
+        ok = dp > tol * dmax0
         li = jnp.where(ok, num / jnp.sqrt(jnp.maximum(dp, 1e-30)), 0.0)
         L = lax.dynamic_update_slice(L, li[None, :], (i, 0))
         d = jnp.maximum(d - li * li, 0.0)

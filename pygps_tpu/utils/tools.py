@@ -124,6 +124,17 @@ def sq_dist(x: jax.Array, z: jax.Array) -> jax.Array:
     indefinite at the 1e-2 level (Cholesky NaNs); d is small, so true-f32
     passes cost nothing here.
     """
+    if x.shape[-1] == 1:
+        # d=1: the norm expansion's cancellation noise is ~eps·‖x‖²
+        # ABSOLUTE, which swamps the true d² of close points (a uniform
+        # grid over [0,1) at n=65536 has neighbor d² ≈ 2e-10 vs ~1e-7
+        # noise — enough to push K's λ_min past sn² and make f32
+        # factorizations/CG treat the Gram as indefinite, measured on
+        # the circulant anchor).  The direct squared difference is
+        # exact to RELATIVE eps and is O(n·m) like the expansion (the
+        # rank-1 "matmul" has no MXU advantage to lose).
+        d = x[:, 0][:, None] - z[:, 0][None, :]
+        return d * d
     xn = jnp.sum(x * x, axis=-1)
     zn = jnp.sum(z * z, axis=-1)
     cross = jnp.matmul(x, z.T, precision=lax.Precision.HIGHEST)
