@@ -60,14 +60,31 @@ def main(n=8192, block=1024, precision="bf16", factor_only=False):
     from pygps_tpu.parallel import pcholesky2d as p2
     from pygps_tpu.parallel.exact2d import gram_bc2d, pinv_chol2d
 
-    K2 = jax.jit(lambda: gram_bc2d(kern, x, grid, block,
-                                   noise_diag=jnp.asarray(0.135,
-                                                          jnp.float32)))()
+    # the probe's standalone input can't be buffer-reused unless donated
+    # (in the engine the Gram is an intermediate of the same jit); the
+    # Gram is rebuilt per rep, as in probe_pchol_sweep --don
+    gram_j = jax.jit(lambda: gram_bc2d(kern, x, grid, block,
+                                       noise_diag=jnp.asarray(
+                                           0.135, jnp.float32)))
     chol2 = jax.jit(lambda K: p2.pcholesky2d(K, grid, update_dtype=upd,
-                                             gemm_precision=gp))
+                                             gemm_precision=gp),
+                    donate_argnums=(0,))
+    K2 = gram_j()
     L2 = chol2(K2)
     finite = bool(jax.jit(lambda L: jnp.isfinite(L).all())(L2))
-    timed(f"pchol2d_n{n}_b{block}_{precision}_finite{finite}", chol2, K2)
+    import statistics as _st
+    ts = []
+    for _ in range(3):
+        del L2
+        K2 = gram_j()
+        jax.block_until_ready(K2)
+        t0 = time.perf_counter()
+        L2 = chol2(K2)
+        float(L2[0, 0, 0, 0, 0, 0])
+        ts.append(time.perf_counter() - t0)
+    print(json.dumps({"metric": f"pchol2d_n{n}_b{block}_{precision}"
+                                f"_finite{finite}",
+                      "ms": round(_st.median(ts) * 1e3, 1)}), flush=True)
     if factor_only:
         del K2, L2
     else:
