@@ -119,10 +119,15 @@ def _xla_sm_lean(x, z, w, mu, v):
 @jax.custom_vjp
 def sm_gram(x, z, w, mu, v):
     """Spectral-mixture cross-Gram K(x, z); w (Q,), mu/v (Q, D) are the
-    NATURAL (exp'd) parameters.  Pallas-fused on TPU, lean scan
-    elsewhere; O(n·m) transient memory either way."""
-    if _on_tpu():
-        return _pallas_sm(x, z, w, mu, v, interpret=False)
+    NATURAL (exp'd) parameters.  O(n·m) transient memory.
+
+    Uses the checkpointed lean scan on every backend — measured on v5e
+    at n=8192, Q=4, D=8: lean scan **79.9 ms** vs Pallas fused tile
+    91.4 ms vs old einsum 95.4 ms.  The SM map is VPU-transcendental
+    bound (Q·D cos + Q exp per element), so the Pallas tile's HBM
+    saving buys nothing and its 256² tile granularity loses to XLA's
+    fused elementwise pipeline — recorded negative result; the tile
+    kernel is kept for reference/tests."""
     return _xla_sm_lean(x, z, w, mu, v)
 
 
