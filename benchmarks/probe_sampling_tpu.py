@@ -164,23 +164,30 @@ def nuts_sweep_probe():
     m.setData(jnp.asarray(x), jnp.asarray(y))
     rows = []
     for depth, chunk in ((3, 8), (4, 8), (5, 8), (4, 4), (4, 16)):
-        m.sample(num_samples=draws, num_warmup=warm, num_chains=chains,
-                 seed=0, max_depth=depth, chunk_size=chunk)  # compile
-        t0 = time.perf_counter()
-        s, stats = m.sample(num_samples=draws, num_warmup=warm,
-                            num_chains=chains, seed=1, max_depth=depth,
-                            chunk_size=chunk)
-        jax.block_until_ready(s)
-        wall = time.perf_counter() - t0
-        me = float(jnp.min(ess(s)))
-        rows.append({
-            "depth": depth, "chunk": chunk, "wall_s": round(wall, 2),
-            "transitions_per_s": round((warm + draws) * chains / wall, 1),
-            "min_ess": round(me, 1),
-            "ess_per_s": round(me / wall, 2),
-            "accept": round(float(np.asarray(stats["accept_prob"]).mean()),
-                            3),
-        })
+        try:
+            m.sample(num_samples=draws, num_warmup=warm,
+                     num_chains=chains, seed=0, max_depth=depth,
+                     chunk_size=chunk)  # compile
+            t0 = time.perf_counter()
+            s, stats = m.sample(num_samples=draws, num_warmup=warm,
+                                num_chains=chains, seed=1,
+                                max_depth=depth, chunk_size=chunk)
+            jax.block_until_ready(s)
+            wall = time.perf_counter() - t0
+            me = float(jnp.min(ess(s)))
+            rows.append({
+                "depth": depth, "chunk": chunk, "wall_s": round(wall, 2),
+                "transitions_per_s": round((warm + draws) * chains / wall,
+                                           1),
+                "min_ess": round(me, 1),
+                "ess_per_s": round(me / wall, 2),
+                "accept": round(float(np.asarray(
+                    stats["accept_prob"]).mean()), 3),
+            })
+        except Exception as e:  # noqa: BLE001 — config-level isolation
+            rows.append({"depth": depth, "chunk": chunk,
+                         "error": repr(e)[:120]})
+        print(json.dumps({"partial": rows[-1]}), flush=True)
     return {"n": n, "chains": chains, "rows": rows}
 
 
