@@ -165,6 +165,11 @@ class DistributedExact:
         self.gemm_precision = (lax.Precision.HIGH if precision == "high"
                                else None)
         if layout == "2d":
+            if lookahead is True:
+                raise ValueError("lookahead is a 1-D-layout schedule; "
+                                 "the 2-D engine has no lookahead "
+                                 "variant (leave it 'auto')")
+            self.lookahead = False
             from pygps_tpu.parallel import exact2d
 
             if mesh_ is None or len(mesh_.axis_names) != 2:

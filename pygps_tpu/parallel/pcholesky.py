@@ -344,6 +344,10 @@ def pcholesky(A_bc: jax.Array, mesh: Mesh, axis: str = "shard",
     dominant GEMMs (same numerics, different schedule — see
     ``_pchol_local_lookahead``)."""
     p, m, b, n = A_bc.shape
+    if lookahead and trailing != "xla":
+        raise ValueError("lookahead=True supports only the XLA trailing "
+                         "path (trailing='xla'); the Pallas trailing "
+                         "kernel has no lookahead variant")
 
     def body(A):
         if lookahead:

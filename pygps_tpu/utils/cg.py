@@ -52,17 +52,20 @@ def cg_solve(matvec: Callable, B: jax.Array, tol: float = 1e-8,
         # old 1e-30-denominator guard turned that into alpha ≈ 1e35 and
         # overflowed the iterate (measured: NaN at n=65536 after the
         # preconditioner converged a column in 4 iterations).  FREEZE the
-        # affected column instead (alpha = beta = 0) — it simply stops
-        # improving, and the while cond/max_iters bound the loop.
-        ok_a = pAp > 0
-        alpha = jnp.where(ok_a, rz / jnp.where(ok_a, pAp, 1.0), 0.0)
+        # affected column (X/R/P/rz all kept) — it simply stops
+        # improving, and the while cond/max_iters bound the loop.  (An
+        # alpha=0-only guard is NOT a freeze: with R unchanged, beta
+        # becomes rz/rz = 1 and P inflates by Z every iteration.)
+        broke = jnp.logical_or(pAp <= 0, rz <= 0)
+        ok = ~broke
+        alpha = jnp.where(ok, rz / jnp.where(ok, pAp, 1.0), 0.0)
         X = X + alpha[None, :] * P
         R = R - alpha[None, :] * AP
         Z = precond(R)
         rz_new = jnp.sum(R * Z, axis=0)
-        ok_b = rz > 0
-        beta = jnp.where(ok_b, rz_new / jnp.where(ok_b, rz, 1.0), 0.0)
-        P = Z + beta[None, :] * P
+        beta = jnp.where(ok, rz_new / jnp.where(ok, rz, 1.0), 0.0)
+        P = jnp.where(broke[None, :], P, Z + beta[None, :] * P)
+        rz_new = jnp.where(broke, rz, rz_new)
         return X, R, P, rz_new, it + 1
 
     X, R, _, _, it = lax.while_loop(cond, body, (X0, R0, P0, rz0, 0))

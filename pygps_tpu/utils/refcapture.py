@@ -89,16 +89,30 @@ def import_reference(reference_path):
     ref = Path(reference_path)
     if not ref.exists():
         raise FileNotFoundError(f"reference path {ref} does not exist")
-    candidates = [ref] + [p.parent for p in ref.glob("**/pyGPs/__init__.py")]
+    # p is .../pyGPs/__init__.py → the importable ROOT is two levels up
+    # (the directory CONTAINING the pyGPs package)
+    candidates = [ref] + [p.parent.parent
+                          for p in ref.glob("**/pyGPs/__init__.py")]
     last_err = None
+    seen = set()
     for c in candidates[:8]:
-        sys.path.insert(0, str(c))
+        c = str(c)
+        if c in seen:
+            continue
+        seen.add(c)
+        sys.path.insert(0, c)
         try:
             mod = importlib.import_module("pyGPs")
+            # guard against an implicit EMPTY namespace package (a bare
+            # pyGPs/ dir without __init__.py shadowing the real one)
+            if getattr(mod, "__file__", None) is None:
+                raise ImportError(f"{c}/pyGPs resolved to a namespace "
+                                  "package (no __init__.py)")
             return mod
         except Exception as e:  # noqa: BLE001 — record and try next root
             last_err = e
             sys.path.pop(0)
+            sys.modules.pop("pyGPs", None)
     raise ImportError(f"could not import pyGPs from {ref}: {last_err!r}")
 
 

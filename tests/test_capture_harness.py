@@ -268,3 +268,27 @@ def test_capture_from_mock_reference(mock_reference, tmp_path):
 
     fails = refcapture.compare_against_ours(gold)
     assert not fails, fails
+
+
+def test_import_reference_nested_layout(mock_reference, tmp_path):
+    """The package can sit anywhere under the mount (installed-style
+    layout): import_reference must add the directory CONTAINING pyGPs,
+    not the package dir itself, to sys.path."""
+    import shutil
+    import subprocess
+
+    nested = tmp_path / "mount" / "src" / "site-packages"
+    nested.mkdir(parents=True)
+    shutil.copytree(mock_reference / "pyGPs", nested / "pyGPs")
+    # run in a subprocess (import_reference mutates sys.path/modules)
+    code = (
+        "import sys; sys.path.insert(0, {repo!r})\n"
+        "from pygps_tpu.utils import refcapture\n"
+        "m = refcapture.import_reference({mount!r})\n"
+        "assert m.__version__ == 'mock-1.3.5', m.__version__\n"
+        "assert m.__file__ is not None\n"
+        "print('NESTED-IMPORT-OK')\n"
+    ).format(repo=str(TESTS_DIR.parent), mount=str(tmp_path / "mount"))
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=120)
+    assert "NESTED-IMPORT-OK" in r.stdout, r.stdout + r.stderr
