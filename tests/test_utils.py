@@ -63,6 +63,29 @@ def test_sq_dist_nonnegative_and_exact():
     assert np.allclose(np.asarray(d2), ref, atol=1e-10)
 
 
+def test_sq_dist_d1_fine_grid_f32():
+    """Regression pin for the round-4 d=1 exact path: on a fine uniform
+    1-D grid in f32, the norm-expansion form's ABSOLUTE cancellation
+    noise (~eps·‖x‖²) swamps the true neighbor distances and can push
+    Gram eigenvalues past −sn²; the direct-difference path is exact to
+    relative eps (the n=65536 circulant-anchor failure mode)."""
+    n = 4096
+    x32 = jnp.asarray((np.arange(n) / n).astype(np.float32)[:, None])
+    d2 = np.asarray(sq_dist(x32, x32))
+    ref = (np.arange(n, dtype=np.float64)[:, None]
+           - np.arange(n, dtype=np.float64)[None, :]) ** 2 / n**2
+    # neighbor distances (the cancellation victims) must be exact-ish
+    band = np.abs(np.arange(n)[:, None] - np.arange(n)[None, :]) <= 4
+    rel = np.abs(d2 - ref)[band & (ref > 0)] / ref[band & (ref > 0)]
+    assert rel.max() < 1e-5, rel.max()
+    # expansion form for comparison: its neighbor error is catastrophic
+    xe = np.asarray(x32, np.float32)
+    naive = (xe**2).sum(1)[:, None] + (xe**2).sum(1)[None, :] \
+        - 2.0 * (xe @ xe.T)
+    worst = np.abs(np.maximum(naive, 0) - ref)[band & (ref > 0)]
+    assert worst.max() > 1e-8   # the failure mode the new path removes
+
+
 def test_checkpoint_roundtrip_functors(tmp_path):
     path = str(tmp_path / "ck.npz")
     kern = pg.cov.RBF(0.3, 0.7) + pg.cov.Linear(-0.2)
