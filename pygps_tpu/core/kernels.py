@@ -449,6 +449,13 @@ class PiecePoly(Kernel):
                 + (15.0 * j + 45.0) * r + 15.0) / 15.0
 
     def _cross(self, x, z):
+        if _fused_enabled(x, z):
+            from pygps_tpu.ops.gram_pallas import fused_gram
+
+            j = math.floor(x.shape[-1] / 2.0) + self.v + 1
+            return fused_gram(f"pp{self.v}_{j}", x, z,
+                              jnp.exp(-2.0 * self.log_ell),
+                              jnp.exp(2.0 * self.log_sigma))
         ell = jnp.exp(self.log_ell)
         sf2 = jnp.exp(2.0 * self.log_sigma)
         D = x.shape[-1]

@@ -58,6 +58,26 @@ def _apply_kind(kind, d2, sf2, alpha):
         # alpha = 2/ℓ² → k = sf² exp(−(2/ℓ²) sin²(π r / p))
         s = jnp.sin(jnp.sqrt(d2 + 1e-36))
         return sf2 * jnp.exp(-alpha * s * s)
+    if kind.startswith("pp"):
+        # piecewise polynomial (Wendland), kind "pp{v}_{j}" with v, j
+        # STATIC (j = floor(D/2)+v+1 is shape-derived) — exponent and
+        # polynomial coefficients compile to constants
+        v_, j_ = kind[2:].split("_")
+        v_, j_ = int(v_), float(int(j_))
+        r = jnp.sqrt(d2 + 1e-36)
+        base = jnp.maximum(1.0 - r, 0.0)
+        if v_ == 0:
+            poly = jnp.ones_like(r)
+        elif v_ == 1:
+            poly = (j_ + 1.0) * r + 1.0
+        elif v_ == 2:
+            poly = ((j_ * j_ + 4.0 * j_ + 3.0) * r * r
+                    + (3.0 * j_ + 6.0) * r + 3.0) / 3.0
+        else:
+            poly = ((j_ ** 3 + 9.0 * j_ * j_ + 23.0 * j_ + 15.0) * r ** 3
+                    + (6.0 * j_ * j_ + 36.0 * j_ + 45.0) * r * r
+                    + (15.0 * j_ + 45.0) * r + 15.0) / 15.0
+        return sf2 * base ** (int(j_) + v_) * poly
     raise ValueError(kind)
 
 
@@ -270,4 +290,11 @@ def cross_fused(kernel, x, z):
         sf2 = jnp.exp(2.0 * kernel.log_sigma)
         alpha = 2.0 * jnp.exp(-2.0 * kernel.log_ell)      # 2/ℓ²
         return fused_gram("periodic", x, z, pre, sf2, alpha)
+    if isinstance(kernel, cov.PiecePoly):
+        import math as _math
+
+        inv_ell2 = jnp.exp(-2.0 * kernel.log_ell)
+        sf2 = jnp.exp(2.0 * kernel.log_sigma)
+        j = _math.floor(x.shape[-1] / 2.0) + kernel.v + 1
+        return fused_gram(f"pp{kernel.v}_{j}", x, z, inv_ell2, sf2)
     return kernel._cross(x, z)

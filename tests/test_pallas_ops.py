@@ -92,6 +92,34 @@ def test_fused_periodic():
     assert np.allclose(out_i, ref, atol=1e-4)
 
 
+def test_fused_piecepoly_all_orders():
+    """PiecePoly kinds pp{v}_{j}: interpret-mode Pallas tile + XLA fused
+    path vs the kernel's own formula, values and gradients."""
+    import math as _math
+
+    for v in (0, 1, 2, 3):
+        kern = pg.cov.PiecePoly(0.4, 0.2, v=v)
+        ref = np.asarray(kern._cross(X, Z))
+        out = np.asarray(gp.cross_fused(kern, X, Z))
+        assert np.allclose(out, ref, atol=1e-4), v
+        j = _math.floor(X.shape[-1] / 2.0) + v + 1
+        inv_ell2 = jnp.asarray(np.exp(-0.8), jnp.float32)
+        sf2 = jnp.asarray(np.exp(0.4), jnp.float32)
+        out_i = np.asarray(gp._pallas_gram(
+            f"pp{v}_{j}", X, Z, inv_ell2, sf2,
+            jnp.asarray(1.0, jnp.float32), interpret=True))
+        assert np.allclose(out_i, ref, atol=1e-4), v
+
+        def loss(i_, s_, v=v, j=j):
+            return jnp.sum(gp.fused_gram(f"pp{v}_{j}", X, Z, i_, s_) ** 2)
+
+        g1, g2 = jax.grad(loss, argnums=(0, 1))(inv_ell2, sf2)
+        eps = 1e-3
+        fd1 = (loss(inv_ell2 + eps, sf2)
+               - loss(inv_ell2 - eps, sf2)) / (2 * eps)
+        assert np.isclose(float(g1), float(fd1), rtol=3e-2), v
+
+
 def test_sm_lean_and_pallas_match_einsum():
     """sm_gram (lean scan / interpret-mode Pallas tile) vs the einsum SM
     path, values and hyperparameter gradients."""
