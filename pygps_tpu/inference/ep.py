@@ -320,7 +320,22 @@ def _energy_dispatch(ops, m, lik, y, ttau, tnu, moments):
     """Dense operators route through the analytic fixed-point gradient
     (energy_fixed_sites_dense — saves the energy re-factorization and
     its autodiff transpose); structured (FITC) operators keep the
-    generic autodiff energy."""
+    generic autodiff energy.
+
+    Cap interaction (round-4 advisor): the analytic gradient assumes
+    cavity/moment-matching stationarity, which holds only when
+    ``_ep_sweeps`` converged (dn ≤ _TOL).  If the loop exits at the
+    _MAX_SWEEPS=60 cap unconverged, the gradient carries an extra
+    O(site residual) error on top of the O(site residual) the autodiff
+    path's site stop-gradient already carries — same order, larger
+    constant.  Convergence is a traced value inside jit, so a runtime
+    fallback would compile BOTH energy paths (a dense re-factorization
+    + its VJP) into every EP program via lax.cond; given the rejection-
+    damped sweep loop converges in practice (worst measured: 14 sweeps
+    at extreme hyperparameters, see _ep_sweeps), we accept the cap risk
+    and keep the knob: set ``config.EP_ANALYTIC_GRAD = False`` to force
+    the autodiff energy when optimizing in regimes where EP may hit the
+    cap."""
     from pygps_tpu import config
 
     sg = lax.stop_gradient

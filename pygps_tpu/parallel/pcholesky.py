@@ -231,7 +231,7 @@ def _trailing_chunks(A, L_rows, P_cols, *, past, p, m, b, cw, nchunks,
     return A
 
 
-def _pchol_local_lookahead(A, *, p, m, b, n, axis, n_col_chunks=16,
+def _pchol_local_lookahead(A, *, p, m, b, n, axis,
                            update_dtype=None, gemm_precision=None):
     """Lookahead variant of ``_pchol_local``: panel k+1 is factored (and
     its column all_gathered) BEFORE panel k's bulk trailing update, so
@@ -318,7 +318,7 @@ def _pchol_local_lookahead(A, *, p, m, b, n, axis, n_col_chunks=16,
 
 def pcholesky(A_bc: jax.Array, mesh: Mesh, axis: str = "shard",
               update_dtype=None, gemm_precision=None,
-              n_col_chunks: int = 16,
+              n_col_chunks: int | None = None,
               trailing: str = "xla",
               lookahead: bool = False) -> jax.Array:
     """Factor a bc-layout SPD matrix: returns L (bc layout, lower).
@@ -331,7 +331,11 @@ def pcholesky(A_bc: jax.Array, mesh: Mesh, axis: str = "shard",
 
     ``n_col_chunks`` trades trailing-update FLOP savings (column chunks
     left of the panel skip via lax.cond, n³/(2p) → ~n³/(3p)) against TPU
-    branch overhead — each cond breaks the command queue.
+    branch overhead — each cond breaks the command queue.  Defaults to
+    16.  Not settable with ``lookahead=True``, whose schedule pins the
+    chunk width to the panel width b (measured +25% wall at n=32768
+    with wider chunks straddling the strip boundary) — passing it there
+    raises.
 
     ``trailing="pallas"`` routes the trailing update through the fused
     masked Pallas kernel (ops/trailing_pallas.py) — per-tile skips, no
@@ -348,12 +352,18 @@ def pcholesky(A_bc: jax.Array, mesh: Mesh, axis: str = "shard",
         raise ValueError("lookahead=True supports only the XLA trailing "
                          "path (trailing='xla'); the Pallas trailing "
                          "kernel has no lookahead variant")
+    if lookahead and n_col_chunks is not None:
+        raise ValueError("n_col_chunks is not settable with "
+                         "lookahead=True: the lookahead schedule pins "
+                         "the chunk width to the panel width b")
+    if n_col_chunks is None:
+        n_col_chunks = 16
 
     def body(A):
         if lookahead:
             return _pchol_local_lookahead(
                 A[0], p=p, m=m, b=b, n=n, axis=axis,
-                n_col_chunks=n_col_chunks, update_dtype=update_dtype,
+                update_dtype=update_dtype,
                 gemm_precision=gemm_precision)[None]
         return _pchol_local(A[0], p=p, m=m, b=b, n=n, axis=axis,
                             n_col_chunks=n_col_chunks,

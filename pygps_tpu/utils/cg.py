@@ -39,13 +39,19 @@ def cg_solve(matvec: Callable, B: jax.Array, tol: float = 1e-8,
     rz0 = jnp.sum(R0 * Z0, axis=0)
     b_norm = jnp.maximum(jnp.linalg.norm(B, axis=0), 1e-30)
 
+    frozen0 = jnp.zeros((k,), bool)
+
     def cond(state):
-        X, R, P, rz, it = state
+        X, R, P, rz, frozen, it = state
         res = jnp.linalg.norm(R, axis=0) / b_norm
+        # A frozen (broken-down) column's residual never drops; excluding
+        # it from the max lets the batch stop once every LIVE column
+        # converges instead of spinning to max_iters (round-4 advisor).
+        res = jnp.where(frozen, 0.0, res)
         return jnp.logical_and(jnp.max(res) > tol, it < max_iters)
 
     def body(state):
-        X, R, P, rz, it = state
+        X, R, P, rz, frozen, it = state
         AP = matvec(P)
         pAp = jnp.sum(P * AP, axis=0)
         # f32 breakdown guard: near convergence pAp/rz round to ≤ 0; the
@@ -66,9 +72,10 @@ def cg_solve(matvec: Callable, B: jax.Array, tol: float = 1e-8,
         beta = jnp.where(ok, rz_new / jnp.where(ok, rz, 1.0), 0.0)
         P = jnp.where(broke[None, :], P, Z + beta[None, :] * P)
         rz_new = jnp.where(broke, rz, rz_new)
-        return X, R, P, rz_new, it + 1
+        return X, R, P, rz_new, jnp.logical_or(frozen, broke), it + 1
 
-    X, R, _, _, it = lax.while_loop(cond, body, (X0, R0, P0, rz0, 0))
+    X, R, _, _, _, it = lax.while_loop(
+        cond, body, (X0, R0, P0, rz0, frozen0, 0))
     res = jnp.max(jnp.linalg.norm(R, axis=0) / b_norm)
     return X, it, res
 

@@ -50,7 +50,10 @@ def pivoted_cholesky(row_fn: Callable, diag: jax.Array, rank: int):
         # a rank-512 factor of a numerical-rank-99 circulant kernel
         # degraded the Woodbury preconditioner until CG stalled at
         # rel-residual 0.18).  Excess ranks now yield exact-zero rows.
-        tol = 32.0 * jnp.finfo(diag.dtype).eps
+        # Floored at the historical f64 cutoff 1e-12 so the f32-motivated
+        # relaxation cannot loosen f64 behavior (round-4 advisor): f64
+        # keeps tol = 1e-12, f32 gets 32·eps ≈ 3.8e-6.
+        tol = jnp.maximum(32.0 * jnp.finfo(diag.dtype).eps, 1e-12)
         ok = dp > tol * dmax0
         li = jnp.where(ok, num / jnp.sqrt(jnp.maximum(dp, 1e-30)), 0.0)
         L = lax.dynamic_update_slice(L, li[None, :], (i, 0))

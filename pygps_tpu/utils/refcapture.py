@@ -224,7 +224,19 @@ def compare_against_ours(gold):
     verbatim mode and by the mocked-harness test."""
     import jax
 
+    # Comparison runs under f64; restore the caller's flag on exit so an
+    # in-process invocation (test_capture_harness.py runs first in a plain
+    # pytest order) cannot silently flip the rest of the suite to f64 and
+    # mask f32 regressions (round-4 advisor, medium).
+    prev_x64 = jax.config.jax_enable_x64
     jax.config.update("jax_enable_x64", True)
+    try:
+        return _compare_against_ours_x64(gold)
+    finally:
+        jax.config.update("jax_enable_x64", prev_x64)
+
+
+def _compare_against_ours_x64(gold):
     import jax.numpy as jnp
 
     import pygps_tpu as pg
