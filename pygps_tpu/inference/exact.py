@@ -83,8 +83,12 @@ def _nlml_core_bwd(res, g):
     n = alpha.shape[0]
     if config.GEMM_INVERSE:
         # blocked W = L⁻¹ then WᵀW: all-GEMM, rides the MXU instead of the
-        # ~7 TF/s TRSM unit (ops/trtri.py; toggle config.use_gemm_inverse)
-        Kinv = inv_from_chol(L) / sn2                       # K̃⁻¹
+        # ~7 TF/s TRSM unit (ops/trtri.py; toggle config.use_gemm_inverse).
+        # GEMMs run at EXACT_BWD_PRECISION ("high" default — gradient-
+        # gated vs f64, probe_bwd_precision.py) rather than the global
+        # "highest" pin; no-op under CPU/f64 parity.
+        Kinv = inv_from_chol(
+            L, precision=config.EXACT_BWD_PRECISION) / sn2  # K̃⁻¹
     else:
         Kinv = solve_chol(L, jnp.eye(n, dtype=L.dtype)) / sn2   # K̃⁻¹
     Q = Kinv - alpha[:, None] * alpha[None, :]

@@ -350,6 +350,13 @@ class GP:
             samples, stats = sample_nuts_sharded(
                 logp, q0, k_run, mesh, sampler=sampler,
                 num_warmup=num_warmup, num_samples=num_samples, **kwargs)
+        elif "chain_chunk" in kwargs and sampler == "nuts":
+            # chain-axis chunking: bounds COMPILE size at chain_chunk
+            # vmapped chains regardless of num_chains (the 256-wide
+            # program crashes the remote compile helper) — see nuts.py
+            samples, stats = _nuts.sample_nuts_chain_chunked(
+                logp, q0, k_run, num_warmup=num_warmup,
+                num_samples=num_samples, **kwargs)
         elif "chunk_size" in kwargs and sampler == "nuts":
             # chunked dispatch: bounds per-call device time (tunnel/device
             # execution limits at large C·T·2^depth) — see nuts.py

