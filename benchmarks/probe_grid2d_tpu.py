@@ -46,7 +46,8 @@ def timed(name, fn, *a, reps=3):
           flush=True)
 
 
-def main(n=8192, block=1024, precision="bf16", factor_only=False):
+def main(n=8192, block=1024, precision="bf16", factor_only=False,
+         engine_only=False, inv_chunks=8, fwd_too=False, skip_1d=False):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((n, 8)), jnp.float32)
     y = jnp.asarray(np.sin(np.asarray(x)[:, 0]), jnp.float32)
@@ -59,6 +60,14 @@ def main(n=8192, block=1024, precision="bf16", factor_only=False):
     grid = make_grid_mesh(1, 1)
     from pygps_tpu.parallel import pcholesky2d as p2
     from pygps_tpu.parallel.exact2d import gram_bc2d, pinv_chol2d
+
+    if engine_only:
+        # fresh-process engine timing only: at n=32768 the standalone
+        # factor/inverse timings hold extra full-size buffers and an OOM
+        # wedges the device allocator for the rest of the process
+        _engines(n, block, precision, mean, kern, lik, x, y, grid,
+                 inv_chunks=inv_chunks, fwd_too=fwd_too, skip_1d=skip_1d)
+        return
 
     # the probe's standalone input can't be buffer-reused unless donated
     # (in the engine the Gram is an intermediate of the same jit); the
@@ -88,20 +97,42 @@ def main(n=8192, block=1024, precision="bf16", factor_only=False):
     if factor_only:
         del K2, L2
     else:
-        timed(f"pinv2d_n{n}_b{block}_{precision}",
-              jax.jit(lambda L: pinv_chol2d(L, grid, update_dtype=upd,
-                                            gemm_precision=gp)), L2)
+        # fault-isolated: the standalone inverse holds L2 + a full-size
+        # output + slab transients simultaneously, which OOMs at
+        # n=32768 (in the engine the Gram/factor are same-jit
+        # intermediates and the buffers reuse); the decisive number is
+        # the engine NLML+grad below
+        for tri in ("lower", "full"):
+            try:
+                timed(f"pinv2d_{tri}_n{n}_b{block}_{precision}",
+                      jax.jit(lambda L, tri=tri: pinv_chol2d(
+                          L, grid, update_dtype=upd, gemm_precision=gp,
+                          triangle=tri)), L2)
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps(
+                    {"metric": f"pinv2d_{tri}_n{n}_b{block}_{precision}",
+                     "error": repr(e)[:120]}), flush=True)
         del K2, L2
 
+    _engines(n, block, precision, mean, kern, lik, x, y, grid)
+
+
+def _engines(n, block, precision, mean, kern, lik, x, y, grid,
+             inv_chunks=8, fwd_too=False, skip_1d=False):
     eng2 = DistributedExact(grid, block=block, layout="2d",
-                            precision=precision)
+                            precision=precision, inv_chunks=inv_chunks)
     eng1 = DistributedExact(pmesh.make_mesh(1), block=block,
                             precision=precision)
-    for tag, eng in (("2d", eng2), ("1d", eng1)):
+    engines = [("2d", eng2)] + ([] if skip_1d else [("1d", eng1)])
+    for tag, eng in engines:
+        if fwd_too:
+            f = jax.jit(lambda k, eng=eng: eng.nlml(mean, k, lik, x, y))
+            timed(f"nlml_fwd_{tag}_n{n}_b{block}_{precision}", f, kern,
+                  reps=2)
         vg = jax.jit(jax.value_and_grad(
             lambda k, eng=eng: eng.nlml(mean, k, lik, x, y)))
-        timed(f"nlml_grad_{tag}_n{n}_b{block}_{precision}", vg, kern,
-              reps=2)
+        timed(f"nlml_grad_{tag}_n{n}_b{block}_{precision}"
+              f"_ic{inv_chunks}", vg, kern, reps=2)
 
 
 if __name__ == "__main__":
@@ -114,5 +145,11 @@ if __name__ == "__main__":
                     choices=["bf16", "high", "highest"])
     ap.add_argument("--factor-only", action="store_true",
                     help="skip inverse + engine NLML (memory-tight n)")
+    ap.add_argument("--engine-only", action="store_true",
+                    help="only the 2-D/1-D engine NLML+grad timings")
+    ap.add_argument("--inv-chunks", type=int, default=8)
+    ap.add_argument("--fwd-too", action="store_true")
+    ap.add_argument("--skip-1d", action="store_true")
     a = ap.parse_args()
-    main(a.n, a.block, a.precision, a.factor_only)
+    main(a.n, a.block, a.precision, a.factor_only, a.engine_only,
+         a.inv_chunks, a.fwd_too, a.skip_1d)

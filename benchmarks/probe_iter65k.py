@@ -185,6 +185,36 @@ def run_circulant_exact(n, eng, ell=0.1):
     pg.cov.use_fused_gram(None)   # restore the auto heuristic
 
 
+def run_rbf_staged(n, eng, tag=""):
+    """NLML+grad via the STAGED multi-dispatch driver (round-4 verdict
+    weak 4: the 33.85 s single grad dispatch sat past the tunnel's
+    ~25-30 s fault line — every staged phase stays well under it), with
+    per-phase wall breakdown.  Runs twice: compile+run, then warm."""
+    x, y = make_rbf_problem(n)
+    mean, kern, lik = (pg.mean.Zero(), pg.cov.RBF(0.3, 0.0),
+                       pg.lik.Gauss(-1.0))
+    t_all = {}
+    eng.nlml_and_grad_staged(mean, kern, lik, x, y, timings=t_all)
+    cold = dict(t_all)
+    t_all = {}
+    t0 = time.perf_counter()
+    v, grads = eng.nlml_and_grad_staged(mean, kern, lik, x, y,
+                                        timings=t_all)
+    wall = time.perf_counter() - t0
+    import jax.flatten_util as fu
+
+    gflat, _ = fu.ravel_pytree(grads)
+    print(json.dumps({
+        "probe": f"piter_rbf_staged_n{n}{tag}",
+        "nlml_grad_s": round(wall, 2), "phases_s": t_all,
+        "phases_cold_s": cold,
+        "max_phase_s": round(max(t_all.values()), 2),
+        "nlz": round(float(v), 2),
+        "grad_finite": bool(np.all(np.isfinite(np.asarray(gflat)))),
+        "hbm_peak_gib": hbm_peak_gib(),
+    }), flush=True)
+
+
 def main():
     import argparse
 
@@ -193,7 +223,7 @@ def main():
     ap.add_argument("--rank", type=int, default=512)
     ap.add_argument("--probes", type=int, default=16)
     ap.add_argument("--chunks", type=int, default=16)
-    ap.add_argument("--stage", choices=["trend", "65k", "all"],
+    ap.add_argument("--stage", choices=["trend", "65k", "all", "staged65k"],
                     default="all")
     args = ap.parse_args()
 
@@ -219,6 +249,9 @@ def main():
             num_probes=args.probes, lanczos_iters=32, precond_rank=512)
         run_circulant_exact(65536, eng_anchor)
         run_rbf(65536, eng, anchor=False)
+    if args.stage == "staged65k":
+        run_rbf_staged(65536, eng,
+                       tag=f"_ch{args.chunks}_p{args.probes}")
 
 
 if __name__ == "__main__":

@@ -191,10 +191,53 @@ def nuts_sweep_probe():
     return {"n": n, "chains": chains, "rows": rows}
 
 
+@probe("nuts_ess_128draw_n2048")
+def nuts_ess128_probe():
+    """Round-4 verdict weak 1: the bench's ESS figure rests on 16 draws —
+    decoration.  This is the stabilized sampler metric: n=2048, 64
+    chains, 32 warmup + 128 RETAINED draws (chunked dispatch), reporting
+    min-bulk-ESS, split-R̂, and ESS/s over the draw phase and the total
+    wall.  The bench line keeps the 16-draw wall-clock protocol and
+    points here for the honest ESS column."""
+    import pygps_tpu as pg
+    from pygps_tpu.inference.diagnostics import ess, split_rhat
+
+    rng = np.random.default_rng(7)
+    n, chains, warm, draws, depth = 2048, 64, 32, 128, 4
+    x = rng.standard_normal((n, 8)).astype(np.float32)
+    y = (np.sin(x[:, 0]) + 0.1 * rng.standard_normal(n)).astype(np.float32)
+    m = pg.GPR()
+    m.setData(jnp.asarray(x), jnp.asarray(y))
+    # compile pass at minimal iteration count (same chunk programs)
+    m.sample(num_samples=8, num_warmup=8, num_chains=chains, seed=0,
+             max_depth=depth, chunk_size=8, chain_chunk=64)
+    t0 = time.perf_counter()
+    s, stats = m.sample(num_samples=draws, num_warmup=warm,
+                        num_chains=chains, seed=1, max_depth=depth,
+                        chunk_size=8, chain_chunk=64)
+    jax.block_until_ready(s)
+    wall = time.perf_counter() - t0
+    e = np.asarray(ess(s))
+    rhat = np.asarray(split_rhat(s))
+    return {
+        "n": n, "chains": chains, "warmup": warm, "draws": draws,
+        "wall_s": round(wall, 1),
+        "min_bulk_ess": round(float(e.min()), 1),
+        "ess_per_hyp": [round(float(v), 1) for v in e],
+        "max_split_rhat": round(float(rhat.max()), 4),
+        "ess_per_s_total_wall": round(float(e.min()) / wall, 2),
+        "draws_per_s": round(draws * chains / wall, 2),
+        "accept": round(float(np.asarray(stats["accept_prob"]).mean()), 3),
+        "protocol": f"warm{warm}+draw{draws}, depth<={depth}, chunk 8, "
+                    "chain_chunk 64",
+    }
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     table = {"nuts": nuts_probe, "fitc": fitc_probe,
-             "iterative": iterative_probe, "nuts_sweep": nuts_sweep_probe}
+             "iterative": iterative_probe, "nuts_sweep": nuts_sweep_probe,
+             "nuts_ess128": nuts_ess128_probe}
     if which == "all":
         for fn in table.values():
             fn()

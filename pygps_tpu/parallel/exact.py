@@ -154,7 +154,8 @@ class DistributedExact:
 
     def __init__(self, mesh_: Mesh | None = None, block: int = 256,
                  axis: str = "shard", precision: str = "highest",
-                 layout: str = "1d", lookahead: str | bool = "auto"):
+                 layout: str = "1d", lookahead: str | bool = "auto",
+                 inv_chunks: int = 8):
         if precision not in ("highest", "high", "bf16"):
             raise ValueError(f"unknown precision {precision!r}")
         if layout not in ("1d", "2d"):
@@ -191,7 +192,8 @@ class DistributedExact:
             self.axes = tuple(mesh_.axis_names)
             self._core = exact2d.make_dist_nlml_core2d(
                 self.mesh, self.axes, update_dtype=self.update_dtype,
-                gemm_precision=self.gemm_precision)
+                gemm_precision=self.gemm_precision,
+                inv_chunks=inv_chunks)
         else:
             self.mesh = mesh_ if mesh_ is not None else pmesh.make_mesh()
             self.axis = axis

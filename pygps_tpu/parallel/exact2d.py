@@ -432,11 +432,17 @@ def _factor_solve2d(K2, rv, sn2, mesh_, axes, update_dtype=None,
 
 
 def make_dist_nlml_core2d(mesh_: Mesh, axes=("row", "col"),
-                          update_dtype=None, gemm_precision=None):
+                          update_dtype=None, gemm_precision=None,
+                          inv_chunks: int = 8):
     """nlml_core(K2, mvec, sn2, y) -> nlZ with the analytic VJP
     (reference inf.Exact dnlZ assembly, inf.py:~180) carried out entirely
     in the 2-D layout: Q = K̃⁻¹ − ααᵀ per local block, trace from the
-    diagonal blocks."""
+    diagonal blocks.
+
+    ``inv_chunks``: chunk-grid granularity of the backward inverse's
+    dynamic triangle skips — finer chunks track the lower triangle more
+    tightly (the skipped-FLOP fraction approaches the ideal 1/3 as
+    chunks shrink) at the cost of more lax.cond queue breaks."""
 
     def _nlz(K2, mvec, sn2, y):
         n = y.shape[0]
@@ -466,7 +472,7 @@ def make_dist_nlml_core2d(mesh_: Mesh, axes=("row", "col"),
         # the x-VJP agree too)
         Kinv2 = pinv_chol2d(L2, mesh_, axes, update_dtype=update_dtype,
                             gemm_precision=gemm_precision,
-                            triangle="lower")
+                            triangle="lower", n_chunks=inv_chunks)
 
         def q_local(Ki, al):
             Ki = Ki[0, 0]

@@ -296,7 +296,8 @@ class DistributedIterative:
         }
         return self._staged
 
-    def nlml_and_grad_staged(self, mean, kernel, lik, x, y, seed=0):
+    def nlml_and_grad_staged(self, mean, kernel, lik, x, y, seed=0,
+                             timings: dict | None = None):
         """(nlZ, (mean_grads, kernel_grads, lik_grads)) via SEPARATE
         jitted dispatches per phase — preconditioner factor, alpha CG,
         SLQ log-det, probe CG, surrogate VJP — each safely under the
@@ -304,7 +305,19 @@ class DistributedIterative:
         checkpointable between phases.  Same estimator, same PRNG keys
         as ``jax.grad(self.nlml)`` with the same ``seed`` (the gradient
         is assembled from the identical analytic expressions of the
-        custom VJP, not autodiff across phases)."""
+        custom VJP, not autodiff across phases).  Pass a dict as
+        ``timings`` to collect per-phase wall seconds."""
+        import time as _time
+
+        def tic(name, val):
+            jax.block_until_ready(val)
+            if timings is not None:
+                now = _time.perf_counter()
+                timings[name] = round(now - tic.t0, 3)
+                tic.t0 = now
+            return val
+
+        tic.t0 = _time.perf_counter()
         fns = self._staged_fns()
         n = y.shape[0]
         sn2 = jnp.exp(2.0 * lik.log_sigma)
@@ -313,21 +326,20 @@ class DistributedIterative:
         Lpc = (fns["pc"](kernel, x)
                if self._cfg["precond_rank"] > 0 else
                jnp.zeros((0, n), x.dtype))
-        jax.block_until_ready(Lpc)
+        tic("pc_factor", Lpc)
         alpha, _ = fns["solve"](kernel, x, sn2, r[:, None], Lpc)
-        alpha = alpha[:, 0]
-        jax.block_until_ready(alpha)
-        ld = fns["logdet"](kernel, x, sn2, Lpc,
-                           jax.random.PRNGKey(seed))
-        jax.block_until_ready(ld)
+        alpha = tic("alpha_cg", alpha[:, 0])
+        ld = tic("slq_logdet", fns["logdet"](kernel, x, sn2, Lpc,
+                                             jax.random.PRNGKey(seed)))
         nlZ = (0.5 * jnp.dot(r, alpha) + 0.5 * ld
                + 0.5 * n * jnp.log(2.0 * jnp.pi))
         Z = jax.random.rademacher(jax.random.PRNGKey(seed + 1),
                                   (n, self._cfg["num_probes"]),
                                   dtype=x.dtype)
         W, _ = fns["solve"](kernel, x, sn2, Z, Lpc)
-        jax.block_until_ready(W)
+        tic("probe_cg", W)
         kbar, sn2bar = fns["sur"](kernel, sn2, x, alpha, Z, W)
+        tic("surrogate_vjp", (kbar, sn2bar))
         mean_grads = mean_vjp(-alpha)[0]
         _, lik_vjp = jax.vjp(lambda l: jnp.exp(2.0 * l.log_sigma), lik)
         lik_grads = lik_vjp(sn2bar)[0]
