@@ -241,6 +241,31 @@ def pinv_chol2d(L2: jax.Array, mesh: Mesh, axes=("row", "col"),
     if triangle not in ("full", "lower"):
         raise ValueError(f"triangle must be 'full' or 'lower': {triangle}")
     lower_only = triangle == "lower"
+
+    if L2.shape[0] == L2.shape[1] == 1:
+        # single-device grid: the 2-D slab IS the dense factor up to a
+        # block permutation, so route through the GEMM-rate blocked
+        # inverse (ops/trtri.py) exactly as the 1-D engine's p=1 fast
+        # path (parallel/pinverse.py) — the serial sweeps below measured
+        # ~3× the factor's wall at matched FLOPs (probe_grid2d_tpu,
+        # round 5: 375 ms vs 121.6 ms at n=16384), all of it
+        # latency/slab-movement, none of it arithmetic
+        from pygps_tpu.ops.trtri import inv_from_chol
+        from pygps_tpu.parallel.pinverse import _prec
+
+        _, _, mr0, mc0, b0, _ = L2.shape
+        n0 = mr0 * b0
+        Ld = jnp.transpose(L2[0, 0], (0, 2, 1, 3)).reshape(n0, n0)
+        Binv = inv_from_chol(Ld, precision=_prec(update_dtype,
+                                                 gemm_precision))
+        if lower_only:
+            blk = jnp.arange(mr0)
+            Binv = jnp.where((blk[:, None] >= blk[None, :])
+                             [:, None, :, None],
+                             Binv.reshape(mr0, b0, mc0, b0), 0.0)
+            return jnp.transpose(Binv, (0, 2, 1, 3))[None, None]
+        return jnp.transpose(Binv.reshape(mr0, b0, mc0, b0),
+                             (0, 2, 1, 3))[None, None]
     pr, pc, mr, mc, b, _ = L2.shape
     nb = mr * pr
     axis_r, axis_c = axes
@@ -440,9 +465,8 @@ def make_dist_nlml_core2d(mesh_: Mesh, axes=("row", "col"),
     diagonal blocks.
 
     ``inv_chunks``: chunk-grid granularity of the backward inverse's
-    dynamic triangle skips — finer chunks track the lower triangle more
-    tightly (the skipped-FLOP fraction approaches the ideal 1/3 as
-    chunks shrink) at the cost of more lax.cond queue breaks."""
+    dynamic triangle skips on the p>1 sweep path (single-device grids
+    take the dense GEMM-rate fast path inside ``pinv_chol2d``)."""
 
     def _nlz(K2, mvec, sn2, y):
         n = y.shape[0]
@@ -470,7 +494,8 @@ def make_dist_nlml_core2d(mesh_: Mesh, axes=("row", "col"),
         # zero above, which reproduces tr(Q·dK) exactly for symmetric dK
         # (every kernel's Gram is symmetric, and k(xi,xj)=k(xj,xi) makes
         # the x-VJP agree too)
-        Kinv2 = pinv_chol2d(L2, mesh_, axes, update_dtype=update_dtype,
+        Kinv2 = pinv_chol2d(L2, mesh_, axes,
+                            update_dtype=update_dtype,
                             gemm_precision=gemm_precision,
                             triangle="lower", n_chunks=inv_chunks)
 

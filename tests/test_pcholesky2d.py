@@ -258,3 +258,24 @@ def test_nlml2d_grad_matches_dense_after_lower_inverse(grid):
     assert np.isclose(float(v2), float(vr), rtol=1e-8)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(gr),
                                rtol=1e-6, atol=1e-9)
+
+def test_pinv_chol2d_single_device_fast_path():
+    """pr=pc=1 routes through the dense GEMM inverse (ops/trtri.py) —
+    both triangle modes must match the dense inverse / its tril."""
+    from pygps_tpu.parallel import exact2d as e2
+
+    n, b = 128, 16
+    A = _spd(n, seed=19)
+    grid1 = p2.make_grid_mesh(1, 1)
+    A2 = p2.shard_bc2d(p2.to_block_cyclic_2d(A, b, 1, 1), grid1)
+    L2 = p2.pcholesky2d(A2, grid1)
+    ref = np.linalg.inv(np.asarray(A))
+    X = np.asarray(p2.from_block_cyclic_2d(
+        e2.pinv_chol2d(L2, grid1)))
+    assert np.allclose(X, ref, atol=1e-10 * n)
+    Xl = np.asarray(p2.from_block_cyclic_2d(
+        e2.pinv_chol2d(L2, grid1, triangle="lower")))
+    blk = np.repeat(np.arange(n // b), b)
+    low = blk[:, None] >= blk[None, :]
+    assert np.allclose(Xl[low], ref[low], atol=1e-10 * n)
+    assert np.all(Xl[~low] == 0.0)
