@@ -232,8 +232,9 @@ def pinv_chol2d(L2: jax.Array, mesh: Mesh, axes=("row", "col"),
     weak 2).  The recurrence closes on the lower triangle alone: step
     k's row slab X[k, J] is needed downstream only for J < k, and
     column blocks are independent in the slab solve, so upper-block
-    garbage never contaminates lower results; strict-upper blocks are
-    zeroed on exit.  Consumers must apply tril semantics (e.g. the
+    garbage never contaminates lower results.  Strict-upper blocks are
+    UNSPECIFIED (zeros on the p>1 sweep path, mirrored values on the
+    p=1 fast path) — consumers must apply tril semantics (e.g. the
     doubled-cotangent trace trick in ``make_dist_nlml_core2d``).
 
     ``update_dtype=jnp.bfloat16`` feeds the coupling GEMMs (the n³/p hot
@@ -258,12 +259,12 @@ def pinv_chol2d(L2: jax.Array, mesh: Mesh, axes=("row", "col"),
         Ld = jnp.transpose(L2[0, 0], (0, 2, 1, 3)).reshape(n0, n0)
         Binv = inv_from_chol(Ld, precision=_prec(update_dtype,
                                                  gemm_precision))
-        if lower_only:
-            blk = jnp.arange(mr0)
-            Binv = jnp.where((blk[:, None] >= blk[None, :])
-                             [:, None, :, None],
-                             Binv.reshape(mr0, b0, mc0, b0), 0.0)
-            return jnp.transpose(Binv, (0, 2, 1, 3))[None, None]
+        # triangle="lower" contract here is "upper blocks UNSPECIFIED"
+        # (the fast path returns the mirrored symmetric values): an
+        # explicit zeroing pass costs a 1 GiB pred mask + a 4 GiB
+        # masked copy at n=32768 — measured to push the NLML-gradient
+        # program past HBM.  The engine consumer (q_local's wblk)
+        # multiplies upper blocks by zero regardless.
         return jnp.transpose(Binv.reshape(mr0, b0, mc0, b0),
                              (0, 2, 1, 3))[None, None]
     pr, pc, mr, mc, b, _ = L2.shape
@@ -488,12 +489,39 @@ def make_dist_nlml_core2d(mesh_: Mesh, axes=("row", "col"),
     def bwd(res, g):
         L2, alpha, sn2 = res
         pr, pc, mr, mc, b, _ = L2.shape
-        # lower-triangle-only inverse (the symmetric inverse's bwd sweep
-        # at ~n³/(3p) instead of n³/p); the upper half is never formed —
-        # instead the K cotangent is DOUBLED on strict-lower blocks and
-        # zero above, which reproduces tr(Q·dK) exactly for symmetric dK
-        # (every kernel's Gram is symmetric, and k(xi,xj)=k(xj,xi) makes
-        # the x-VJP agree too)
+        if pr == 1 and pc == 1:
+            # single-device grid: run the whole cotangent assembly DENSE
+            # and convert layouts exactly once.  Routing through the
+            # blocked pinv fast path costs two extra 4 GiB layout copies
+            # (blocked Kinv + blocked Q), which pushed the n=32768
+            # NLML-gradient program 0.3-1.3 GiB past HBM (round-5 OOM
+            # audit); here Q/weights fuse elementwise over the dense
+            # inverse and only the final cotangent is transposed.
+            from pygps_tpu.ops.trtri import inv_from_chol
+            from pygps_tpu.parallel.pinverse import _prec
+
+            n0 = mr * b
+            Ld = jnp.transpose(L2[0, 0], (0, 2, 1, 3)).reshape(n0, n0)
+            Kinv = inv_from_chol(Ld, precision=_prec(update_dtype,
+                                                     gemm_precision))
+            Q = Kinv - alpha[:, None] * alpha[None, :]
+            trQ = jnp.trace(Q)
+            blk = jnp.arange(n0) // b
+            # triangle weight (1 diag / 2 strict-lower / 0 upper): the
+            # full symmetric Q halves into the doubled lower form so the
+            # gram VJP sees the same tr(Q·dK) for symmetric dK
+            w = jnp.where(blk[:, None] == blk[None, :], 1.0,
+                          2.0 * (blk[:, None] > blk[None, :]))
+            cotd = g * 0.5 * (w * Q)
+            cot = jnp.transpose(cotd.reshape(mr, b, mc, b),
+                                (0, 2, 1, 3))[None, None]
+            return (cot, -g * alpha, g * 0.5 * trQ, g * alpha)
+        # p>1: lower-triangle-only inverse (the symmetric inverse's bwd
+        # sweep at ~n³/(3p) instead of n³/p); the upper half is never
+        # formed — instead the K cotangent is DOUBLED on strict-lower
+        # blocks and zero above, which reproduces tr(Q·dK) exactly for
+        # symmetric dK (every kernel's Gram is symmetric, and
+        # k(xi,xj)=k(xj,xi) makes the x-VJP agree too)
         Kinv2 = pinv_chol2d(L2, mesh_, axes,
                             update_dtype=update_dtype,
                             gemm_precision=gemm_precision,

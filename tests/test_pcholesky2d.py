@@ -273,9 +273,35 @@ def test_pinv_chol2d_single_device_fast_path():
     X = np.asarray(p2.from_block_cyclic_2d(
         e2.pinv_chol2d(L2, grid1)))
     assert np.allclose(X, ref, atol=1e-10 * n)
+    # triangle="lower": lower blocks valid; upper UNSPECIFIED (the
+    # fast path returns mirrored values, no zeroing pass)
     Xl = np.asarray(p2.from_block_cyclic_2d(
         e2.pinv_chol2d(L2, grid1, triangle="lower")))
     blk = np.repeat(np.arange(n // b), b)
     low = blk[:, None] >= blk[None, :]
     assert np.allclose(Xl[low], ref[low], atol=1e-10 * n)
-    assert np.all(Xl[~low] == 0.0)
+
+
+def test_distributed_exact_2d_p1_grid_grad():
+    """1×1 grid: the NLML backward takes the dense fast path (dense
+    inverse + fused triangle-weighted cotangent + one layout transpose)
+    and must match the dense engine's gradient exactly."""
+    from jax.flatten_util import ravel_pytree
+
+    import pygps_tpu as pg
+    from pygps_tpu.inference import exact as dense_exact
+    from pygps_tpu.parallel.exact import DistributedExact
+
+    rng = np.random.default_rng(23)
+    n = 128
+    x = jnp.asarray(rng.standard_normal((n, 3)))
+    y = jnp.asarray(np.sin(np.asarray(x)[:, 0]))
+    prior = (pg.mean.Zero(), pg.cov.RBF(0.1, 0.2), pg.lik.Gauss(-0.7))
+    t0, unr = ravel_pytree(prior)
+    eng = DistributedExact(p2.make_grid_mesh(1, 1), block=16, layout="2d")
+    v2, g2 = jax.jit(jax.value_and_grad(
+        lambda t: eng.nlml(*unr(t), x, y)))(t0)
+    vr, gr = jax.value_and_grad(
+        lambda t: dense_exact.nlml(*unr(t), x, y))(t0)
+    assert np.isclose(float(v2), float(vr), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(gr), rtol=1e-8)
