@@ -210,14 +210,18 @@ def _pchol2d_local(A, *, pr, pc, mr, mc, b, axis_r, axis_c,
 
 
 def pcholesky2d(A2: jax.Array, mesh: Mesh, axes=("row", "col"),
-                n_col_chunks: int = 8, update_dtype=None,
+                n_col_chunks: int = 16, update_dtype=None,
                 gemm_precision=None) -> jax.Array:
     """Factor an SPD matrix in 2-D block-cyclic layout; returns the lower
     factor in the same layout (upper-triangle blocks undefined — use
     ``from_block_cyclic_2d(..., tril=True)`` or the masked consumers).
 
     ``update_dtype=jnp.bfloat16`` runs trailing updates in bf16 with f32
-    accumulation, as in the 1-D kernel."""
+    accumulation, as in the 1-D kernel.
+
+    ``n_col_chunks`` default 16 (round-5 sweep at n=32768 b=2048 high,
+    p=1: 4→725 ms, 8→633, 16→595 — skip granularity beats cond
+    overhead at these shapes; chunk width floors at one block)."""
     pr, pc, mr, mc, b, _ = A2.shape
 
     def body(A):
