@@ -181,17 +181,20 @@ def _nuts_line():
             m = pg.GPR()
             m.setData(jnp.asarray(x), jnp.asarray(y))
 
-            def once(seed):
+            def once(seed, w, d):
                 t0 = time.perf_counter()
-                s, stats = m.sample(num_samples=draws, num_warmup=warm,
+                s, stats = m.sample(num_samples=d, num_warmup=w,
                                     num_chains=chains, seed=seed,
                                     max_depth=depth, chunk_size=8,
                                     chain_chunk=chain_chunk)
                 jax.block_until_ready(s)
                 return time.perf_counter() - t0, s, stats
 
-            once(0)                   # compile both chunk programs
-            wall, s, stats = once(1)  # steady state (persistent cache)
+            # compile pass at ONE chunk per phase (8+8): identical
+            # compiled programs (chunk-shaped), a quarter the wall of a
+            # full dry run at c256
+            once(0, 8, 8)
+            wall, s, stats = once(1, warm, draws)  # steady state
             min_ess = float(jnp.min(ess(s)))
             iters = (warm + draws) * chains
             print(json.dumps({
