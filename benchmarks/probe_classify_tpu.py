@@ -104,9 +104,42 @@ def ep_probe():
             isinstance(v, tuple) else v)}
 
 
+@probe("dist_laplace_gpc_nlml_grad_n16384")
+def dist_laplace_probe():
+    """Distributed Laplace-GPC at n=16384 over the p=1 mesh (verdict r4
+    item 7): parallel/classify.py's laplace_nlml — ring Gram (gram_bc)
+    -> DistributedOps -> the generic Newton/IFT engine — value+grad."""
+    import pygps_tpu as pg
+    from pygps_tpu.parallel import classify as pclassify
+    from pygps_tpu.parallel import mesh as pmesh
+
+    n, d, block = 16384, 4, 2048
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    w = rng.standard_normal(d).astype(np.float32)
+    y = np.sign(x @ w + 0.3 * rng.standard_normal(n)).astype(np.float32)
+    x, y = jnp.asarray(x), jnp.asarray(y)
+
+    mesh = pmesh.make_mesh(1)
+    prior = (pg.mean.Zero(), pg.cov.RBF(0.0, 0.0), pg.lik.Erf())
+
+    @jax.jit
+    def step(prior):
+        return jax.value_and_grad(
+            lambda pr: pclassify.laplace_nlml(pr[0], pr[1], pr[2], x, y,
+                                              mesh, block=block))(prior)
+
+    dt = _time_step(step, prior, reps=3)
+    v, _ = step(prior)
+    return {"n": n, "d": d, "block": block, "p": 1,
+            "ms_per_eval": round(dt * 1e3, 1),
+            "evals_per_s": round(1.0 / dt, 2), "nlZ": float(v)}
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    table = {"laplace": laplace_probe, "ep": ep_probe}
+    table = {"laplace": laplace_probe, "ep": ep_probe,
+             "dist": dist_laplace_probe}
     if which == "all":
         for fn in table.values():
             fn()

@@ -107,7 +107,7 @@ def svgp_line():
                   inducing_points=np.asarray(params.z))
     mfit.setData(np.asarray(xtr), np.asarray(ytr))
     t0 = time.perf_counter()
-    mfit.optimize(num_iters=20)
+    mfit.optimize(numIterations=20)
     fitc_fit_s = time.perf_counter() - t0
     ymu_f, ys2_f, _, _, _ = mfit.predict(xte)
     ymu_f, ys2_f = np.asarray(ymu_f).ravel(), np.asarray(ys2_f).ravel()
@@ -194,9 +194,13 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
-    serve_line()
-    svgp_line()
-    smc_line()
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    parts = {"serve": serve_line, "svgp": svgp_line, "smc": smc_line}
+    if which == "all":
+        for fn in parts.values():
+            fn()
+    else:
+        parts[which]()
 
 
 if __name__ == "__main__":

@@ -321,9 +321,18 @@ class GP:
                 m, k, l = unravel(t)
                 return -nlml_fn(m, k, l, x, y, **extra)
 
-            run = jax.jit(lambda q0, k: _smc.sample_smc(
-                log_prior, log_lik, q0, k, **kwargs))
-            q, logZ, stats = run(q0, k_run)
+            # Per-stage dispatch by default at TPU-size n: the monolithic
+            # scan exceeds the per-dispatch execution budget and faults
+            # the device (see sample_smc's staged doc).  Small problems
+            # keep the single fused program.
+            staged = bool(kwargs.pop("staged", x.shape[0] >= 1024))
+            if staged:
+                q, logZ, stats = _smc.sample_smc(
+                    log_prior, log_lik, q0, k_run, staged=True, **kwargs)
+            else:
+                run = jax.jit(lambda q0, k: _smc.sample_smc(
+                    log_prior, log_lik, q0, k, **kwargs))
+                q, logZ, stats = run(q0, k_run)
             stats = dict(stats)
             stats["log_evidence"] = float(logZ)
             stats["q_final"] = q

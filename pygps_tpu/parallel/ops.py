@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from jax import lax, shard_map, tree_util
 from jax.sharding import Mesh, PartitionSpec as P
 
-from pygps_tpu.parallel.pcholesky import (pcholesky, plogdet_chol,
+from pygps_tpu.parallel.pcholesky import (pcholesky_ad, plogdet_chol,
                                           psolve_chol)
 
 
@@ -97,8 +97,16 @@ class DistributedOps:
 
     def with_W(self, W):
         sW = jnp.sqrt(jnp.maximum(W, 0.0))
-        L = pcholesky(self._B_bc(W), self.mesh, self.axis)
+        L = pcholesky_ad(self._B_bc(W), self.mesh, axis=self.axis)
         return (sW, L)
+
+    def zero_W_aux(self):
+        """with_W(0) in closed form (B = I ⇒ L = I): saves the cold-start
+        EP sweep's distributed factorization.  _B_bc(0) assembles exactly
+        the bc-layout identity (the K term is scaled to zero)."""
+        n = self.K_bc.shape[-1]
+        zeros = jnp.zeros(n, dtype=self.K_bc.dtype)
+        return (zeros, self._B_bc(zeros))
 
     def apply_A(self, aux, v):
         sW, L = aux

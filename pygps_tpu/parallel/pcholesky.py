@@ -377,6 +377,83 @@ def pcholesky(A_bc: jax.Array, mesh: Mesh, axis: str = "shard",
 
 
 # ---------------------------------------------------------------------------
+# Autodiff-safe factorization (O(n²)-memory reverse pass)
+# ---------------------------------------------------------------------------
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _pchol_p1_ad(A_bc, mesh, axis, kw):
+    return pcholesky(A_bc, mesh, axis=axis, **dict(kw))
+
+
+def _pchol_p1_ad_fwd(A_bc, mesh, axis, kw):
+    L_bc = pcholesky(A_bc, mesh, axis=axis, **dict(kw))
+    return L_bc, L_bc
+
+
+def _pchol_p1_ad_bwd(mesh, axis, kw, L_bc, Lbar_bc):
+    """Standard Cholesky reverse mode (Murray 2016; jax.linalg's
+    convention — the input is treated as symmetric, so the returned
+    cotangent is the symmetrized
+
+        Ā = sym(L⁻ᵀ Φ(Lᵀ L̄) L⁻¹),   Φ = tril with the diagonal halved,
+
+    which leaves hyperparameter gradients identical since every upstream
+    K/B construction in this repo is entrywise symmetric), computed
+    dense at GEMM rate via ops/trtri's blocked triangular
+    inverse — O(n²) live memory, vs the O(n²·n/b) the plain blocked
+    factorization's while-loop reverse makes XLA save (measured: 18.3 GB
+    at n=16384, b=2048 — OOMs a 16 GB chip; see MEASUREMENTS round-5
+    distributed-classification section)."""
+    from pygps_tpu.parallel.mesh import from_block_cyclic, to_block_cyclic
+
+    p, m, b, n = L_bc.shape
+    kwd = dict(kw)
+    prec = (lax.Precision.HIGH
+            if (kwd.get("update_dtype") is not None
+                or kwd.get("gemm_precision") == lax.Precision.HIGH)
+            else lax.Precision.HIGHEST)
+    L = jnp.tril(from_block_cyclic(L_bc))
+    # Upper-triangle outputs are structural zeros: their cotangents must
+    # not contribute.
+    Lbar = jnp.tril(from_block_cyclic(Lbar_bc))
+    S = jnp.tril(jnp.matmul(L.T, Lbar, precision=prec))
+    S = S - 0.5 * jnp.diag(jnp.diagonal(S))
+    Winv = tril_inverse(L, precision=prec)
+    Abar = jnp.matmul(Winv.T, jnp.matmul(S, Winv, precision=prec),
+                      precision=prec)
+    Abar = 0.5 * (Abar + Abar.T)
+    return (to_block_cyclic(Abar, b, p),)
+
+
+_pchol_p1_ad.defvjp(_pchol_p1_ad_fwd, _pchol_p1_ad_bwd)
+
+
+def pcholesky_ad(A_bc: jax.Array, mesh: Mesh, axis: str = "shard",
+                 **kw) -> jax.Array:
+    """``pcholesky`` that is safe to differentiate THROUGH at scale.
+
+    Plain ``pcholesky`` under reverse-mode AD makes XLA checkpoint every
+    panel iteration's trailing matrix (O(n³/b) reverse memory); the
+    distributed classification engines (parallel/classify.py — Laplace's
+    ``logdetB``, EP's whole energy) differentiate through the factor, and
+    at n=16384/b=2048 that compiled to an 18.3 GB program on a 15.75 GB
+    chip.  At p=1 (the single-chip engine fast path, mirroring
+    parallel/pinverse.py's) this routes the backward through the analytic
+    Cholesky VJP instead.  At p>1 the plain path is kept: per-device
+    shards there are small in every configuration this repo runs
+    (virtual-mesh tests, dryrun), and the bc-layout TRSM backward is the
+    documented extension if a real pod ever needs it.
+    """
+    if mesh.devices.size > 1:
+        return pcholesky(A_bc, mesh, axis=axis, **kw)
+    return _pchol_p1_ad(A_bc, mesh, axis, tuple(sorted(kw.items())))
+
+
+# ---------------------------------------------------------------------------
 # Triangular solves (vector RHS)
 # ---------------------------------------------------------------------------
 
@@ -393,6 +470,12 @@ def _solve_fwd_local(L, r, *, p, m, b, n, axis):
         row = lax.dynamic_index_in_dim(L, kloc, axis=0, keepdims=False)  # (b, n)
         s = row @ z                        # Σ_{j<k} L_kj z_j (z zero at ≥ kb)
         L_kk = lax.dynamic_slice(row, (0, cs), (b, b))
+        # Non-owners sliced an above-diagonal (all-zero) block: its solve
+        # result is masked out below, but reverse-mode still runs the
+        # solve's VJP against the zero diagonal (0/0 → NaN gradients,
+        # found by EP-over-mesh grad parity).  Substitute I off-owner so
+        # only the owner's lane carries value AND gradient.
+        L_kk = jnp.where(d == owner, L_kk, jnp.eye(b, dtype=L.dtype))
         r_k = lax.dynamic_slice(r, (cs,), (b,))
         z_k = lax.linalg.triangular_solve(
             L_kk, (r_k - s)[:, None], left_side=True, lower=True)[:, 0]
@@ -422,6 +505,9 @@ def _solve_bwd_local(L, z, *, p, m, b, n, axis):
         c = lax.psum(c_loc, axis)
         row = lax.dynamic_index_in_dim(L, kloc, axis=0, keepdims=False)
         L_kk = lax.dynamic_slice(row, (0, cs), (b, b))
+        # Same off-owner zero-diagonal guard as the forward sweep (see
+        # _solve_fwd_local): masked-out lanes must not 0/0 in the VJP.
+        L_kk = jnp.where(d == owner, L_kk, jnp.eye(b, dtype=L.dtype))
         z_k = lax.dynamic_slice(z, (cs,), (b,))
         x_k = lax.linalg.triangular_solve(
             L_kk, (z_k - c)[:, None], left_side=True, lower=True,

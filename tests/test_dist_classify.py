@@ -81,6 +81,86 @@ def test_distributed_laplace_grads_match_dense(msh, data):
     assert np.allclose(gd, gr, rtol=1e-6, atol=1e-9)
 
 
+def test_p1_laplace_grads_match_dense(data):
+    """p=1 routes the factor through pcholesky_ad's analytic Cholesky
+    VJP (the O(n²)-memory backward the real chip uses — plain autodiff
+    through the blocked factorization OOM'd at n=16384); exact same
+    gradients required."""
+    from jax.flatten_util import ravel_pytree
+
+    x, y = data
+    m1 = pmesh.make_mesh(1)
+    mean, kern, lik = pg.mean.Zero(), pg.cov.RBF(0.3, 0.3), pg.lik.Erf()
+    theta, unravel = ravel_pytree((mean, kern, lik))
+
+    def f_d(t):
+        m, k, l = unravel(t)
+        return classify.laplace_nlml(m, k, l, x, y, m1, block=B)
+
+    def f_r(t):
+        m, k, l = unravel(t)
+        return dense_laplace.nlml(m, k, l, x, y)
+
+    gd = np.asarray(jax.grad(f_d)(theta))
+    gr = np.asarray(jax.grad(f_r)(theta))
+    assert np.allclose(gd, gr, rtol=1e-6, atol=1e-9)
+
+
+def test_p1_ep_grads_match_dense(data):
+    """EP's energy differentiates apply_A/diag_Sigma/logdetB through the
+    factor — exercises pcholesky_ad's VJP with a full (not diag-only)
+    L̄ cotangent at p=1."""
+    from jax.flatten_util import ravel_pytree
+
+    x, y = data
+    m1 = pmesh.make_mesh(1)
+    mean, kern, lik = pg.mean.Zero(), pg.cov.RBF(0.3, 0.3), pg.lik.Erf()
+    theta, unravel = ravel_pytree((mean, kern, lik))
+
+    def f_d(t):
+        m, k, l = unravel(t)
+        return classify.ep_nlml(m, k, l, x, y, m1, block=B)
+
+    def f_r(t):
+        m, k, l = unravel(t)
+        return dense_ep.nlml(m, k, l, x, y)
+
+    gd = np.asarray(jax.grad(f_d)(theta))
+    gr = np.asarray(jax.grad(f_r)(theta))
+    # The two sides use different gradient estimators: DenseOps takes the
+    # analytic fixed-point gradient (EP_ANALYTIC_GRAD), DistributedOps the
+    # autodiff energy with stop-gradient sites — they agree only up to
+    # O(site residual) at the sweep tolerance (see ep.py's knob docs),
+    # ~1e-4 relative here.
+    assert np.allclose(gd, gr, rtol=3e-3, atol=1e-7)
+
+
+def test_distributed_ep_grads_finite_and_match(msh, data):
+    """p=8 EP gradients through the mesh: regression for the
+    psolve_chol off-owner 0/0 (non-owner lanes solved against an
+    above-diagonal all-zero L_kk; the masked value was fine but the
+    solve VJP divided by the zero diagonal → NaN hyperparameter
+    gradients)."""
+    from jax.flatten_util import ravel_pytree
+
+    x, y = data
+    mean, kern, lik = pg.mean.Zero(), pg.cov.RBF(0.3, 0.3), pg.lik.Erf()
+    theta, unravel = ravel_pytree((mean, kern, lik))
+
+    def f_d(t):
+        m, k, l = unravel(t)
+        return classify.ep_nlml(m, k, l, x, y, msh, block=B)
+
+    def f_r(t):
+        m, k, l = unravel(t)
+        return dense_ep.nlml(m, k, l, x, y)
+
+    gd = np.asarray(jax.grad(f_d)(theta))
+    assert np.all(np.isfinite(gd))
+    gr = np.asarray(jax.grad(f_r)(theta))
+    assert np.allclose(gd, gr, rtol=3e-3, atol=1e-7)
+
+
 @pytest.mark.slow
 def test_distributed_ep_matches_dense(msh, data):
     x, y = data
