@@ -225,6 +225,10 @@ def main():
     ap.add_argument("--chunks", type=int, default=16)
     ap.add_argument("--stage", choices=["trend", "65k", "all", "staged65k"],
                     default="all")
+    ap.add_argument("--fused", choices=["auto", "on", "off"],
+                    default="auto",
+                    help="force the Pallas fused Gram inside the "
+                         "streaming matvec on/off (staged65k only)")
     args = ap.parse_args()
 
     mesh = pmesh.make_mesh(1)
@@ -250,8 +254,12 @@ def main():
         run_circulant_exact(65536, eng_anchor)
         run_rbf(65536, eng, anchor=False)
     if args.stage == "staged65k":
+        if args.fused != "auto":
+            pg.cov.use_fused_gram(args.fused == "on")
         run_rbf_staged(65536, eng,
-                       tag=f"_ch{args.chunks}_p{args.probes}")
+                       tag=f"_ch{args.chunks}_p{args.probes}"
+                           f"_f{args.fused}")
+        pg.cov.use_fused_gram(None)
 
 
 if __name__ == "__main__":
