@@ -68,6 +68,30 @@ def use_fused_gram(enabled: bool | None = True):
     _FUSED_GRAM["enabled"] = None if enabled is None else bool(enabled)
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def fused_gram_override(enabled: bool | None):
+    """Trace-time-scoped fused-Gram policy: force the Pallas fused path
+    on/off (or back to auto with ``None``) only for ``_cross`` calls
+    traced inside the block, restoring the previous policy on exit.
+
+    Used by the streaming matvec (parallel/piterative.py), where the
+    fused tile is a MEASURED loss: inside the checkpointed, barriered
+    chunk loop the Pallas call cannot fuse with the trailing (tile @ X)
+    GEMM, while the XLA route pipelines distance+map+matmul — n=65536
+    RBF d=8 NLML+grad 34.5 s (fused) vs 27.1 s (XLA), MEASUREMENTS.md
+    round-5 sweep.  Same trace-time-capture caveat as
+    :func:`use_fused_gram`."""
+    prev = _FUSED_GRAM["enabled"]
+    _FUSED_GRAM["enabled"] = enabled if enabled is None else bool(enabled)
+    try:
+        yield
+    finally:
+        _FUSED_GRAM["enabled"] = prev
+
+
 def _on_tpu():
     try:
         import jax as _jax

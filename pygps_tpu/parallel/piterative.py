@@ -82,9 +82,16 @@ def make_sharded_matvec(mesh_: Mesh, axis: str = "shard",
             # dot-merger from concatenating the unrolled chunk dots
             # back into one xᵀx-shaped (n, n) dot — the n=65536 OOM
             # reproduced with the input barrier alone.)
+            # The XLA Gram route is forced here (fused Pallas tile
+            # measured 1.27× SLOWER in this loop: it cannot fuse with
+            # the trailing GEMM across the checkpoint/barrier seams —
+            # see kernels.fused_gram_override and the round-5 sweep).
             @jax.checkpoint
             def tile_apply(kern_, xc, Xc):
-                return kern_._cross(xloc, xc) @ Xc
+                from pygps_tpu.core.kernels import fused_gram_override
+
+                with fused_gram_override(False):
+                    return kern_._cross(xloc, xc) @ Xc
 
             def chunk(acc, c):
                 xc = lax.dynamic_slice(xfull, (c * cw, c * 0), (cw, d))
