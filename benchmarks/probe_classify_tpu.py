@@ -136,10 +136,49 @@ def dist_laplace_probe():
             "evals_per_s": round(1.0 / dt, 2), "nlZ": float(v)}
 
 
+def dist_ep_probe(n=8192):
+    """Distributed parallel-EP-GPC over the p=1 mesh: the autodiff
+    energy gradient through pcholesky_ad's analytic backward (the dense
+    engine's analytic fixed-point gradient is DenseOps-only).  n=16384
+    compile-OOMs on one chip: diag_Sigma's jvp materializes an
+    (n/b, n, n) 8 GB stack (measured; a diag_Sigma analytic VJP is the
+    documented extension) — the default n=8192 fits."""
+
+    @probe(f"dist_ep_gpc_nlml_grad_n{n}")
+    def _run():
+        import pygps_tpu as pg
+        from pygps_tpu.parallel import classify as pclassify
+        from pygps_tpu.parallel import mesh as pmesh
+
+        d, block = 4, 2048
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        w = rng.standard_normal(d).astype(np.float32)
+        y = np.sign(x @ w + 0.3 * rng.standard_normal(n)).astype(np.float32)
+        xj, yj = jnp.asarray(x), jnp.asarray(y)
+
+        mesh = pmesh.make_mesh(1)
+        prior = (pg.mean.Zero(), pg.cov.RBF(0.0, 0.0), pg.lik.Erf())
+
+        @jax.jit
+        def step(prior):
+            return jax.value_and_grad(
+                lambda pr: pclassify.ep_nlml(pr[0], pr[1], pr[2], xj, yj,
+                                             mesh, block=block))(prior)
+
+        dt = _time_step(step, prior, reps=3)
+        v, _ = step(prior)
+        return {"n": n, "d": d, "block": block, "p": 1,
+                "ms_per_eval": round(dt * 1e3, 1),
+                "evals_per_s": round(1.0 / dt, 2), "nlZ": float(v)}
+
+    _run()
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     table = {"laplace": laplace_probe, "ep": ep_probe,
-             "dist": dist_laplace_probe}
+             "dist": dist_laplace_probe, "dist_ep": dist_ep_probe}
     if which == "all":
         for fn in table.values():
             fn()
