@@ -121,8 +121,19 @@ class DistributedOps:
 
         Column-sharded forward substitution (pinverse pattern): K's
         symmetry makes my RHS column slab the transpose of my bc row slab.
+
+        At p=1 the reverse pass takes the analytic VJP below
+        (:func:`_diag_sigma_p1`): plain autodiff through the blocked
+        forward-substitution loop stacks an (n/b, n, n) residual — 8 GB
+        at n=16384, a measured compile OOM in distributed EP
+        (MEASUREMENTS round-5 distributed-classification section).
         """
         sW, L = aux
+        if self.mesh.devices.size == 1:
+            return _diag_sigma_p1(self.K_bc, sW, L, self.mesh, self.axis)
+        return self._diag_sigma_impl(sW, L)
+
+    def _diag_sigma_impl(self, sW, L):
         p, m, b, n = self.K_bc.shape
         nb = m * p
         nloc = m * b
@@ -171,3 +182,68 @@ class DistributedOps:
         raise NotImplementedError(
             "distributed posteriors are handled by the DistGP* models; "
             "the (alpha, sW, L) dense contract does not apply")
+
+
+# ---------------------------------------------------------------------------
+# Analytic VJP for diag_Sigma at p=1 (O(n²)-memory reverse pass)
+# ---------------------------------------------------------------------------
+
+
+from functools import partial as _partial
+
+from pygps_tpu.parallel.mesh import from_block_cyclic, to_block_cyclic
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _diag_sigma_p1(K_bc, sW, L_bc, mesh, axis):
+    ops = DistributedOps(K_bc, mesh, axis)
+    return ops._diag_sigma_impl(sW, L_bc)
+
+
+def _diag_sigma_p1_fwd(K_bc, sW, L_bc, mesh, axis):
+    return _diag_sigma_p1(K_bc, sW, L_bc, mesh, axis), (K_bc, sW, L_bc)
+
+
+def _diag_sigma_p1_bwd(mesh, axis, res, sbar):
+    """Reverse pass of sig = diag(K) − colsums(V²), V = L⁻¹ (sW ⊙ Kᵀ),
+    written against the forward's EXACT dataflow (R built from the
+    stored bc row slab TRANSPOSED — for a symmetric K the value is the
+    textbook one, but the per-entry cotangent must follow the
+    implementation):
+
+        V̄ = −2 V · s̄        (column-scaled)
+        T  = L⁻ᵀ V̄
+        K̄ = diag(s̄) + Tᵀ · sW  (column-scaled — the transpose of
+                                 ⟨sW ⊙ T, dKᵀ⟩)
+        sW̄ᵢ = Σ_c T_ic Kᵀ_ic
+        L̄  = −tril(T Vᵀ)      (flows on into pcholesky_ad's backward)
+
+    The solves go through the blocked explicit inverse
+    (ops/trtri.tril_inverse) + GEMMs, NOT lax.linalg.triangular_solve:
+    XLA-TPU's triangular_solve lowering with an n×n RHS materializes
+    the whole ladder of partial-update buffers (measured: 68 GB
+    requested at n=16384) — the same reason the dense engine's backward
+    uses the GEMM-rate inverse.  V is recomputed instead of stored;
+    everything is O(n²) live — vs the O(n²·n/b) residual stack plain
+    autodiff makes XLA save through the blocked substitution loop
+    (8 GB at n=16384, measured compile OOM)."""
+    from pygps_tpu.ops.trtri import tril_inverse
+
+    K_bc, sW, L_bc = res
+    p, m, b, n = K_bc.shape
+    prec = lax.Precision.HIGHEST
+    K = from_block_cyclic(K_bc)
+    L = jnp.tril(from_block_cyclic(L_bc))
+    Winv = tril_inverse(L, precision=prec)            # L⁻¹, blocked GEMMs
+    Kt = K.T
+    R = sW[:, None] * Kt
+    V = jnp.matmul(Winv, R, precision=prec)           # L⁻¹ R
+    Vbar = -2.0 * V * sbar[None, :]
+    T = jnp.matmul(Winv.T, Vbar, precision=prec)      # L⁻ᵀ V̄
+    Kbar = jnp.diag(sbar) + T.T * sW[None, :]
+    sWbar = jnp.sum(T * Kt, axis=1)
+    Lbar = -jnp.tril(jnp.matmul(T, V.T, precision=prec))
+    return (to_block_cyclic(Kbar, b, p), sWbar, to_block_cyclic(Lbar, b, p))
+
+
+_diag_sigma_p1.defvjp(_diag_sigma_p1_fwd, _diag_sigma_p1_bwd)
