@@ -120,6 +120,65 @@ def svgp_line():
         "protocol": "20 CG iters on the FITC NLML, same inducing set"}))
 
 
+def svgp_cls_line():
+    """SVGP classification at n=100k (Erf likelihood, GH expected
+    log-lik): the menu's minibatch-scalable big-n CLASSIFICATION path —
+    dense/distributed Laplace caps at n=16384 on one chip."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    import pygps_tpu as pg
+    from pygps_tpu.inference import svgp
+
+    n, m, bs = 100_000, 512, 2048
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((n + 4096, 8)).astype(np.float32)
+    f = np.sin(x[:, 0]) + x[:, 1] * x[:, 2]
+    yc = np.sign(f + 0.3 * rng.standard_normal(n + 4096)).astype(np.float32)
+    xtr, ytr = jnp.asarray(x[:n]), jnp.asarray(yc[:n])
+    xte, yte = x[n:], yc[n:]
+
+    z0 = x[rng.choice(n, m, replace=False)]
+    prior = (pg.mean.Zero(), pg.cov.RBF(0.0, 0.0), pg.lik.Erf())
+    params = svgp.init_params(*prior, z0)
+    tx = optax.adam(1e-2)
+
+    def loss(p, xb, yb):
+        return -svgp.elbo(p, xb, yb, n_total=n)
+
+    @jax.jit
+    def step(p, opt_state, key):
+        idx = jax.random.choice(key, n, (bs,), replace=False)
+        v, g = jax.value_and_grad(loss)(p, xtr[idx], ytr[idx])
+        updates, opt_state = tx.update(g, opt_state, p)
+        return optax.apply_updates(p, updates), opt_state, -v
+
+    opt_state = tx.init(params)
+    keys = jax.random.split(jax.random.PRNGKey(7), 1200)
+    params, opt_state, e0 = step(params, opt_state, keys[0])
+    float(e0)
+    t0 = time.perf_counter()
+    reps = 100
+    for k in keys[1:1 + reps]:
+        params, opt_state, e = step(params, opt_state, k)
+    float(e)
+    sps = reps / (time.perf_counter() - t0)
+    for k in keys[1 + reps:1100]:
+        params, opt_state, e = step(params, opt_state, k)
+
+    lp, ymu, _, _, _ = svgp.predict(params, jnp.asarray(xte),
+                                    ys=jnp.asarray(yte))
+    acc = float(np.mean(np.sign(np.asarray(ymu)) == yte))
+    nlpd = float(-np.mean(np.asarray(lp)))
+    print(json.dumps({
+        "metric": f"svgp_cls_n{n}_m{m}_b{bs}", "steps_per_s":
+        round(sps, 1), "elbo_final": round(float(e), 1),
+        "holdout_acc": round(acc, 4), "holdout_nlpd": round(nlpd, 4),
+        "protocol": "Erf lik, adam 1e-2, 100 timed steps, quality "
+                    "after ~1100 steps"}))
+
+
 def serve_line():
     import jax
     import jax.numpy as jnp
@@ -195,7 +254,8 @@ def main():
     except Exception:
         pass
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    parts = {"serve": serve_line, "svgp": svgp_line, "smc": smc_line}
+    parts = {"serve": serve_line, "svgp": svgp_line,
+             "svgp_cls": svgp_cls_line, "smc": smc_line}
     if which == "all":
         for fn in parts.values():
             fn()
