@@ -65,22 +65,72 @@ def find_jitter(A: jax.Array, jitter0: float | None = None) -> jax.Array:
                      jit_final / config.JITTER_GROWTH)
 
 
+@jax.custom_vjp
+def _chol_guarded(A):
+    """``jnp.linalg.cholesky`` whose reverse pass is safe to run even when
+    the factorization FAILED (NaN factor): the VJP residual is sanitized
+    to I on failure, so the zero cotangent arriving from the untaken
+    ``lax.cond`` branch stays zero instead of 0·NaN → NaN.  This is what
+    lets :func:`safe_cholesky` try the differentiable factorization FIRST
+    and only pay the jitter ladder on failure — halving the happy-path
+    cost (two factorizations → one; 29.8 → ~15 ms at n=8192 on v5e,
+    MEASUREMENTS round-5)."""
+    return jnp.linalg.cholesky(A)
+
+
+def _chol_guarded_fwd(A):
+    L = jnp.linalg.cholesky(A)
+    ok = jnp.all(jnp.isfinite(L))
+    Lsafe = jnp.where(ok, L, jnp.eye(A.shape[-1], dtype=A.dtype))
+    return L, Lsafe
+
+
+def _chol_guarded_bwd(Lsafe, Lbar):
+    # Standard Cholesky reverse mode in jax.linalg's convention
+    # (symmetrized output cotangent; upper-triangle cotangents ignored —
+    # verified identical to jnp.linalg.cholesky autodiff in
+    # tests/test_utils.py).
+    L = Lsafe
+    S = jnp.tril(jnp.matmul(L.T, jnp.tril(Lbar)))
+    S = S - 0.5 * jnp.diag(jnp.diagonal(S))
+    X = lax.linalg.triangular_solve(L, S, left_side=True, lower=True,
+                                    transpose_a=True)          # L⁻ᵀ S
+    Y = lax.linalg.triangular_solve(L, X, left_side=False, lower=True)
+    return (0.5 * (Y + Y.T),)
+
+
+_chol_guarded.defvjp(_chol_guarded_fwd, _chol_guarded_bwd)
+
+
 def safe_cholesky(A: jax.Array, jitter0: float | None = None):
     """Cholesky of a symmetric PSD matrix with escalating diagonal jitter.
 
     Returns ``(L, jitter_used)`` with ``L @ L.T ≈ A + jitter*I``, lower
     triangular.  Mirrors pyGPs ``tools.jitchol`` (×10 escalation) but is
-    jit-compatible and reverse-mode differentiable: the jitter search runs on
-    ``stop_gradient(A)``; the returned factor comes from a single final
-    differentiable factorization.  If no ladder step succeeds the factor
-    contains NaNs, which optimizers treat as a rejected step (the reference
-    swallows the raised exception in its restart loop instead).
+    jit-compatible and reverse-mode differentiable.  Unlike the classic
+    probe-then-factor structure, the differentiable factorization runs
+    FIRST and is reused when it succeeds (the overwhelmingly common
+    case — one factorization instead of two, measured 2× on the v5e
+    happy path); only on a non-finite factor does ``lax.cond`` enter the
+    jitter ladder (search on ``stop_gradient(A)``, then one final
+    differentiable factorization at the found jitter).  If no ladder
+    step succeeds the factor contains NaNs, which optimizers treat as a
+    rejected step (the reference swallows the raised exception in its
+    restart loop instead).
     """
     n = A.shape[-1]
     eye = jnp.eye(n, dtype=A.dtype)
-    jitter = find_jitter(lax.stop_gradient(A), jitter0)
-    L = jnp.linalg.cholesky(A + jitter * eye)
-    return L, jitter
+    L0 = _chol_guarded(A)
+    ok0 = jnp.all(jnp.isfinite(lax.stop_gradient(L0)))
+
+    def happy(_):
+        return L0, jnp.zeros((), A.dtype)
+
+    def ladder(_):
+        jitter = find_jitter(lax.stop_gradient(A), jitter0)
+        return jnp.linalg.cholesky(A + jitter * eye), jitter
+
+    return lax.cond(ok0, happy, ladder, None)
 
 
 def cholesky(A: jax.Array) -> jax.Array:

@@ -44,6 +44,47 @@ def test_safe_cholesky_grad_flows():
     assert np.allclose(np.diag(np.asarray(g)), 0.25)  # d(½logdet)/dA = ½A⁻¹
 
 
+def test_safe_cholesky_grad_matches_plain_cholesky():
+    """The guarded single-factorization fast path (round 5: the old
+    probe-then-factor structure paid TWO factorizations on the happy
+    path) must carry exactly jnp.linalg.cholesky's gradient — including
+    ignoring cotangents on the structural-zero upper triangle."""
+    rng = np.random.default_rng(7)
+    W = rng.standard_normal((24, 24))
+    A = jnp.asarray(W @ W.T + 24 * np.eye(24))
+
+    def f_ref(a):
+        L = jnp.linalg.cholesky(a)
+        return jnp.sum(jnp.log(jnp.diag(L))) + jnp.sum(jnp.sin(L))
+
+    def f_ours(a):
+        L, _ = safe_cholesky(a)
+        return jnp.sum(jnp.log(jnp.diag(L))) + jnp.sum(jnp.sin(L))
+
+    g1 = np.asarray(jax.grad(f_ref)(A))
+    g2 = np.asarray(jax.grad(f_ours)(A))
+    assert np.allclose(g1, g2, atol=1e-12)
+
+
+def test_safe_cholesky_ladder_path_grads_finite():
+    """When the first factorization fails (rank-deficient input), the
+    guarded VJP's sanitized residual must keep the zero cotangent from
+    the untaken branch at zero (no 0·NaN leak), and the ladder factor's
+    gradient must be finite."""
+    rng = np.random.default_rng(8)
+    U = jnp.asarray(rng.standard_normal((16, 5)))
+    B = U @ U.T                       # rank 5 < 16
+
+    def f(b):
+        L, _ = safe_cholesky(b)
+        return jnp.sum(jnp.log(jnp.diag(L)))
+
+    L, jit = safe_cholesky(B)
+    assert float(jit) > 0.0 and np.all(np.isfinite(np.asarray(L)))
+    g = np.asarray(jax.grad(f)(B))
+    assert np.all(np.isfinite(g))
+
+
 def test_solve_chol_roundtrip():
     rng = np.random.default_rng(1)
     W = rng.standard_normal((8, 8))
