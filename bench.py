@@ -6,12 +6,16 @@ numpy float64 Gram + Cholesky + explicit Q = K̃⁻¹ − ααᵀ + per-hyp trac
 products, SURVEY.md §2.4) measured live on this host's CPU — the reference
 publishes no numbers of its own (BASELINE.json "published": {}).
 
-Protocol (round-2 fix for run-to-run spread): median-of-k on both sides —
-baseline = median of 3 full f64 evals; ours = median of 7 scanned-loop
-dispatches (20 sequentially-dependent NLML+grad evals per dispatch, the
-shape an optimizer actually drives).  A speed-of-light line is included:
-achieved TF/s over the peak HIGHEST-precision matmul rate measured on the
-SAME chip in the same run (self-calibrating MFU).
+Protocol (round-2 fix for run-to-run spread; round-5 fix for trajectory
+divergence): median-of-k on both sides — baseline = median of 3 full f64
+evals; ours = median of 7 scanned-loop dispatches (20 sequentially-
+dependent NLML+grad evals per dispatch driven by Adam steps — raw-GD at
+lr=1e-3 diverged to NaN within 3 iterations and silently measured the
+jitter-ladder rescue path at ~2× the true cost; the loop now asserts
+every iteration finite).  A speed-of-light line is included: achieved
+TF/s plus a BLENDED SoL (forward at the HIGHEST-precision MXU rate,
+backward inverse at the HIGH/bf16_3x rate it actually runs at), both
+peaks measured on the SAME chip in the same run (self-calibrating MFU).
 
 Prints THREE JSON lines; the driver parses the LAST one, so the order is
 (round-3 verdict weak 4): NUTS sampler line first, the n=2048
@@ -67,12 +71,26 @@ def baseline_numpy_eval(x, y, log_ell=0.0, log_sf=0.0, log_sn=-1.0):
 
 
 def _measure_descend(x, y, inner, reps):
-    """Median per-eval wall-clock of a scanned gradient-descent loop —
-    each NLML+grad eval at a different hyp point, sequentially dependent,
-    inside ONE jit call: steady-state device throughput rather than the
-    ~5 ms/dispatch latency floor of the axon tunnel, exactly the shape an
-    optimizer drives (optimize/optimizers.py)."""
+    """Median per-eval wall-clock of a scanned Adam loop — each NLML+grad
+    eval at a different hyp point, sequentially dependent, inside ONE jit
+    call: steady-state device throughput rather than the ~5 ms/dispatch
+    latency floor of the axon tunnel, exactly the shape an optimizer
+    drives (optimize/optimizers.py).
+
+    Round-5 protocol fix: the previous raw-GD step (p −= 1e-3·g) DIVERGED
+    — NLML gradients scale O(n) (g_ell ≈ −7900 at n=8192), so log_ell
+    jumped +7.9 on step 0 and the whole trajectory was NaN from
+    iteration 3 on.  Each NaN iteration still executes every FLOP AND
+    fires safe_cholesky's full jitter ladder (~170 ms vs 46 ms healthy at
+    n=8192), so rounds 1-4 benched a diverged trajectory: 99 ms/eval
+    reported vs the engine's true 46 ms (MEASUREMENTS.md round-5
+    bench-protocol section).  Adam's per-coordinate normalization bounds
+    every step by lr regardless of n, keeping the trajectory in sane
+    hyperparameter territory; the finiteness assertion below makes any
+    future divergence a hard bench failure instead of a silent ~2×
+    deflation."""
     import jax
+    import jax.numpy as jnp
 
     import pygps_tpu as pg
     from pygps_tpu.inference import exact
@@ -82,11 +100,24 @@ def _measure_descend(x, y, inner, reps):
 
     @jax.jit
     def descend(prior):
-        def step(pr, _):
+        def step(carry, _):
+            pr, m, s, t = carry
             v, g = vg(pr)
-            pr = jax.tree.map(lambda p, gi: p - 1e-3 * gi, pr, g)
-            return pr, v
-        return jax.lax.scan(step, prior, None, length=inner)
+            t = t + 1.0
+            m = jax.tree.map(lambda a, b: 0.9 * a + 0.1 * b, m, g)
+            s = jax.tree.map(lambda a, b: 0.999 * a + 0.001 * b * b, s, g)
+
+            def upd(p, mm, ss):
+                mhat = mm / (1.0 - 0.9 ** t)
+                shat = ss / (1.0 - 0.999 ** t)
+                return p - 1e-2 * mhat / (jnp.sqrt(shat) + 1e-8)
+
+            pr = jax.tree.map(upd, pr, m, s)
+            return (pr, m, s, t), v
+        zeros = jax.tree.map(jnp.zeros_like, prior)
+        return jax.lax.scan(
+            step, (prior, zeros, zeros, jnp.float32(0.0)), None,
+            length=inner)
 
     # Sync discipline: over the axon tunnel, block_until_ready can return
     # before the device finishes (measured: a 4096^3 matmul "took"
@@ -94,6 +125,15 @@ def _measure_descend(x, y, inner, reps):
     # so each timed rep ends with float(last nlZ value).
     out = descend(prior)          # compile
     float(out[1][-1])
+    # diverged-benchmark detection (sibling of the round-4 DCE detector):
+    # a non-finite trajectory measures jitter-ladder rescue cost, not
+    # engine throughput — refuse to report it
+    vals = np.asarray(out[1])
+    if not np.all(np.isfinite(vals)):
+        raise RuntimeError(
+            f"bench trajectory diverged (nlZ values: {vals}); the "
+            "protocol must keep every iteration finite to measure the "
+            "engine rather than the NaN-rescue path")
     per_eval = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -103,13 +143,22 @@ def _measure_descend(x, y, inner, reps):
     return statistics.median(per_eval)
 
 
-def _peak_matmul_tf(reps=15, mm_inner=10, m=4096):
-    """Speed-of-light calibration: peak HIGHEST-f32 matmul rate on the
-    SAME chip, same run (the MXU rate every O(n³) op is bounded by).
-    15 reps (round-2 verdict: 5 reps swung the denominator ±20 %)."""
+def _peak_matmul_tf(reps=15, mm_inner=10, m=4096, precision=None):
+    """Speed-of-light calibration: peak matmul rate on the SAME chip,
+    same run (the MXU rate every O(n³) op is bounded by), at the given
+    precision (default HIGHEST = true-f32 six-pass).  15 reps (round-2
+    verdict: 5 reps swung the denominator ±20 %).
+
+    Round 5 calibrates TWO rates: HIGHEST for the forward (Cholesky runs
+    f32 throughout) and HIGH (bf16_3x) for the backward inverse, whose
+    GEMMs run at config.EXACT_BWD_PRECISION="high" since the round-5
+    gradient gate — a single-peak SoL denominator would either deflate
+    (all-HIGHEST) or inflate (all-HIGH) the headline; _sol_pct blends."""
     import jax
     import jax.numpy as jnp
 
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
     A = jnp.ones((m, m), jnp.float32) * (1.0 / m)
     # Chain of sequentially dependent matmuls inside ONE jit (amortizes
     # the axon dispatch floor); scalar extracted INSIDE jit (host-side
@@ -118,12 +167,9 @@ def _peak_matmul_tf(reps=15, mm_inner=10, m=4096):
     @jax.jit
     def mm(a):
         def step(acc, _):
-            # explicit HIGHEST: the package pins this globally, but the
-            # calibration must not depend on import order (a DEFAULT-
-            # precision run measures the bf16_3x rate, ~40 TF/s, and
-            # silently deflates sol_pct by 2.4×)
-            acc = jnp.matmul(acc, acc,
-                             precision=jax.lax.Precision.HIGHEST)
+            # explicit precision: the package pins HIGHEST globally, but
+            # the calibration must not depend on import order
+            acc = jnp.matmul(acc, acc, precision=precision)
             return acc * jnp.float32(1.0), None
         out, _ = jax.lax.scan(step, a, None, length=mm_inner)
         return out[0, 0]
@@ -135,6 +181,20 @@ def _peak_matmul_tf(reps=15, mm_inner=10, m=4096):
         float(mm(A))
         mm_times.append(time.perf_counter() - t0)
     return mm_inner * 2 * m**3 / statistics.median(mm_times) / 1e12
+
+
+def _sol_pct(n, d, t_actual, peak_hi, peak_high):
+    """Blended speed-of-light: ideal time charges the forward (Gram +
+    Cholesky + solves, ~n³/3) at the HIGHEST-precision MXU rate and the
+    backward explicit inverse (5n³/3 GEMM-form, ops/trtri.py) at the
+    HIGH (bf16_3x) rate it actually runs at; sol = ideal / actual."""
+    from pygps_tpu import config
+
+    inv_flops = (5.0 / 3.0 if config.GEMM_INVERSE else 2.0) * n**3
+    bwd_peak = peak_high if config.EXACT_BWD_PRECISION == "high" else peak_hi
+    t_ideal = ((n**3 / 3.0 + 6.0 * n**2 * d) / (peak_hi * 1e12)
+               + inv_flops / (bwd_peak * 1e12))
+    return 100.0 * t_ideal / t_actual
 
 
 def _nlml_grad_flops(n, d):
@@ -248,6 +308,8 @@ def run():
     base_eps = 1.0 / t_base
 
     peak_tf = _peak_matmul_tf()
+    peak_tf_high = _peak_matmul_tf(
+        reps=10, precision=jax.lax.Precision.HIGH)
 
     # ---- sampler line (prints first; see module docstring) ----
     try:
@@ -271,8 +333,9 @@ def run():
         "vs_baseline": round(ours_eps / base_eps, 2),
         "tf_per_s": round(tf_per_s, 2),
         "peak_matmul_tf_per_s": round(peak_tf, 1),
-        "sol_pct": round(100.0 * tf_per_s / peak_tf, 1),
-        "protocol": "median-of-7x20",
+        "sol_pct": round(_sol_pct(N, D, t_ours, peak_tf, peak_tf_high), 1),
+        "protocol": "median-of-7x20 adam, finite-checked; "
+                    "latency/fusion-bound regime (small ops)",
     }))
 
     # ---- HEADLINE, printed LAST (the driver parses the final line):
@@ -296,8 +359,10 @@ def run():
         "vs_baseline": round(t_base2 / t_ours2, 2),
         "tf_per_s": round(tf2, 2),
         "peak_matmul_tf_per_s": round(peak_tf, 1),
-        "sol_pct": round(100.0 * tf2 / peak_tf, 1),
-        "protocol": "median-of-5x5; baseline 1 rep",
+        "peak_matmul_tf_per_s_high": round(peak_tf_high, 1),
+        "sol_pct": round(_sol_pct(N2, D, t_ours2, peak_tf, peak_tf_high),
+                         1),
+        "protocol": "median-of-5x5 adam, finite-checked; baseline 1 rep",
     }))
 
 

@@ -90,15 +90,35 @@ def main():
                            float(g[2].log_sigma)])
             rel = np.abs(gf - g64) / (1.0 + np.abs(g64))
 
-            # timing: scanned loop of sequentially-dependent evals
+            # timing: scanned loop of sequentially-dependent evals.
+            # Round-5 protocol fix: Adam-normalized steps — the raw-GD
+            # step (p -= 1e-3 g) diverges to NaN within 3 iterations at
+            # these n (gradients scale O(n)), and NaN iterations fire
+            # safe_cholesky's jitter ladder, inflating ms/eval ~2x.
+            # Both precision arms shared the diverged trajectory, so the
+            # round-5 RATIO conclusion (high = 1.08x) stands; absolute
+            # ms from before this fix are diverged-trajectory numbers.
             inner = 20 if n == 4096 else 5
 
             @jax.jit
             def descend(pr, vgf=vgf, inner=inner):
-                def step(p, _):
+                def step(carry, _):
+                    p, m, s, t = carry
                     v, gg = vgf(p)
-                    return jax.tree.map(lambda a, b: a - 1e-3 * b, p, gg), v
-                return jax.lax.scan(step, pr, None, length=inner)
+                    t = t + 1.0
+                    m = jax.tree.map(lambda a, b: 0.9*a + 0.1*b, m, gg)
+                    s = jax.tree.map(
+                        lambda a, b: 0.999*a + 0.001*b*b, s, gg)
+
+                    def upd(pp, mm, ss):
+                        mhat = mm / (1.0 - 0.9**t)
+                        shat = ss / (1.0 - 0.999**t)
+                        return pp - 1e-2 * mhat / (jnp.sqrt(shat) + 1e-8)
+                    p = jax.tree.map(upd, p, m, s)
+                    return (p, m, s, t), v
+                z = jax.tree.map(jnp.zeros_like, pr)
+                return jax.lax.scan(
+                    step, (pr, z, z, jnp.float32(0.0)), None, length=inner)
 
             out = descend(prior)
             float(out[1][-1])

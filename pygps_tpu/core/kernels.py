@@ -171,6 +171,31 @@ class Kernel(Functor):
         """Symmetric train Gram K(x, x). Reference mode='train'."""
         return self._train(x)
 
+    def Ktrain_pinned(self, x):
+        """Train Gram with the exact diagonal pinned but WITHOUT the
+        symmetrize pass — the dense exact engine's fast path.
+
+        ``_train``'s 0.5·(K+Kᵀ) costs two full n×n passes one of which
+        is a strided transpose read, plus the same again in its VJP
+        (~9 ms of the exact engine's 46 ms eval at n=8192, measured
+        round 5).  Both Gram routes are already symmetric to ~8e-7 at
+        n=8192 f32 (the cross-term GEMM computes (i,j) and (j,i) with
+        the same reduction order), which is f32-eps-level noise against
+        the engine's documented ~1e-4 envelope — and the factorization
+        absorbs it like any other rounding.  The diagonal pin stays:
+        sq_dist's cancellation leaves O(eps·‖x‖²) on what must be
+        K(x,x) exactly, and the jitter ladder is sensitive to it.
+        Iterative/CG engines already feed raw cross-Grams for the same
+        reason (round-4); generic consumers keep :meth:`Ktrain`.
+
+        Kernels that override ``_train`` with bespoke semantics (Pre's
+        stored matrix, Noise's exact sn²·I) fall back to it; composites
+        override this method to compose children's pinned Grams."""
+        if type(self)._train is not Kernel._train:
+            return self._train(x)
+        K = self._cross(x, x)
+        return jnp.fill_diagonal(K, self._diag(x), inplace=False)
+
     def __call__(self, x, z=None, diag=False):
         if diag:
             return self.Kdiag(x if z is None else z)
@@ -729,6 +754,9 @@ class Sum(Kernel):
     def _train(self, x):
         return self.left._train(x) + self.right._train(x)
 
+    def Ktrain_pinned(self, x):
+        return self.left.Ktrain_pinned(x) + self.right.Ktrain_pinned(x)
+
 
 @register
 class Product(Kernel):
@@ -748,6 +776,10 @@ class Product(Kernel):
 
     def _train(self, x):
         return self.left._train(x) * self.right._train(x)
+
+    def Ktrain_pinned(self, x):
+        # diag(K1 ∘ K2) = diag(K1) ∘ diag(K2): children's pins compose
+        return self.left.Ktrain_pinned(x) * self.right.Ktrain_pinned(x)
 
 
 @register
@@ -771,6 +803,9 @@ class Scale(Kernel):
 
     def _train(self, x):
         return jnp.exp(self.log_scale) * self.inner._train(x)
+
+    def Ktrain_pinned(self, x):
+        return jnp.exp(self.log_scale) * self.inner.Ktrain_pinned(x)
 
 
 @register

@@ -28,7 +28,10 @@ from pygps_tpu.utils.tools import safe_cholesky, solve_chol
 
 def _common(mean, kernel, lik, x, y):
     n = x.shape[0]
-    K = kernel.Ktrain(x)
+    # pinned-diag raw Gram: skips _train's symmetrize pass (~9 ms of a
+    # 46 ms eval at n=8192 incl. its VJP transpose; asymmetry is f32-eps
+    # level — see Kernel.Ktrain_pinned)
+    K = kernel.Ktrain_pinned(x)
     m = mean(x)
     sn2 = jnp.exp(2.0 * lik.log_sigma)
     B = K / sn2 + jnp.eye(n, dtype=x.dtype)
@@ -100,8 +103,9 @@ _nlml_core.defvjp(_nlml_core_fwd, _nlml_core_bwd)
 
 def nlml(mean, kernel, lik, x, y) -> jax.Array:
     """Negative log marginal likelihood — differentiable in all
-    hyperparameters via the functor pytrees (analytic VJP inside)."""
-    K = kernel.Ktrain(x)
+    hyperparameters via the functor pytrees (analytic VJP inside;
+    pinned-diag raw Gram, see Kernel.Ktrain_pinned)."""
+    K = kernel.Ktrain_pinned(x)
     m = mean(x)
     sn2 = jnp.exp(2.0 * lik.log_sigma)
     return _nlml_core(K, m, sn2, y)

@@ -117,6 +117,15 @@ def safe_cholesky(A: jax.Array, jitter0: float | None = None):
     step succeeds the factor contains NaNs, which optimizers treat as a
     rejected step (the reference swallows the raised exception in its
     restart loop instead).
+
+    Hopeless-input guard: when ``A`` itself is non-finite (an optimizer
+    that has already diverged keeps evaluating), no jitter can ever
+    succeed, yet the ladder would pay all ``JITTER_MAX_TRIES`` trial
+    factorizations per call — measured ~170 ms/eval at n=8192 vs the
+    ~46 ms healthy path, the dominant cost of a diverged training loop
+    (MEASUREMENTS.md round-5 bench-protocol note).  A non-finite ``A``
+    therefore short-circuits to ``(NaN factor, NaN jitter)`` after a
+    single O(n²) check, paid only on the already-failed branch.
     """
     n = A.shape[-1]
     eye = jnp.eye(n, dtype=A.dtype)
@@ -127,8 +136,18 @@ def safe_cholesky(A: jax.Array, jitter0: float | None = None):
         return L0, jnp.zeros((), A.dtype)
 
     def ladder(_):
-        jitter = find_jitter(lax.stop_gradient(A), jitter0)
-        return jnp.linalg.cholesky(A + jitter * eye), jitter
+        Asg = lax.stop_gradient(A)
+        hopeless = ~jnp.all(jnp.isfinite(Asg))
+
+        def give_up(_):
+            return (jnp.full_like(L0, jnp.nan),
+                    jnp.asarray(jnp.nan, A.dtype))
+
+        def search(_):
+            jitter = find_jitter(Asg, jitter0)
+            return jnp.linalg.cholesky(A + jitter * eye), jitter
+
+        return lax.cond(hopeless, give_up, search, None)
 
     return lax.cond(ok0, happy, ladder, None)
 

@@ -85,6 +85,28 @@ def test_safe_cholesky_ladder_path_grads_finite():
     assert np.all(np.isfinite(g))
 
 
+def test_safe_cholesky_hopeless_input_short_circuits():
+    """A non-finite input (diverged optimizer still evaluating) must NOT
+    enter the jitter ladder — no rung can ever succeed, and the ladder
+    would pay JITTER_MAX_TRIES futile factorizations per call (measured
+    ~170 ms vs ~46 ms healthy at n=8192, MEASUREMENTS round-5).  The
+    guard returns a NaN factor and NaN jitter (0.0 marks the happy path,
+    >0 a successful rescue, NaN 'input was garbage')."""
+    A = jnp.full((6, 6), jnp.nan)
+    L, jit = safe_cholesky(A)
+    assert np.all(np.isnan(np.asarray(L)))
+    assert np.isnan(float(jit))
+
+    # mixed: one NaN entry poisons the factor the same way
+    B = jnp.eye(6).at[2, 3].set(jnp.nan).at[3, 2].set(jnp.nan)
+    L2, jit2 = safe_cholesky(B)
+    assert np.isnan(float(jit2))
+    # gradients through the hopeless branch stay well-defined (NaN,
+    # not an error), matching optimizer reject-step semantics
+    g = jax.grad(lambda a: jnp.sum(safe_cholesky(a)[0]))(A)
+    assert g.shape == A.shape
+
+
 def test_solve_chol_roundtrip():
     rng = np.random.default_rng(1)
     W = rng.standard_normal((8, 8))
